@@ -1,0 +1,318 @@
+"""Abstract simulation base class.
+
+TPU-native equivalent of the reference's ``C2Ray`` base class
+(pyc2ray/c2ray_base.py:83-512): owns parameters, grid, cosmology,
+radiation tables, the raytracer and the time-evolution methods. Concrete
+simulations (test case, CubeP3M-coupled, 244Mpc paper variant) subclass it
+and override the ``_*_init`` hooks, exactly like the reference's template
+pattern (c2ray_base.py:466-484).
+
+Differences from the reference:
+* No GPU memory management layer is needed — XLA owns device buffers; the
+  "device_init/device_close" lifecycle (asora_core.py:20-58) has no
+  equivalent and is gone.
+* ``use_mpi`` is replaced by an optional ``jax.sharding.Mesh``; source
+  parallelism is expressed with shard_map + psum instead of
+  mpi4py Reduce/Bcast (see parallel/source_parallel.py).
+* A defaults layer for the YAML parameters (the reference TODO at
+  c2ray_base.py:64-67).
+"""
+
+import atexit
+import re
+
+import numpy as np
+import jax.numpy as jnp
+import yaml
+
+from ..constants import Mpc, YEAR, ev2fr, ev2k
+from ..cosmology import FlatLambdaCDM
+from ..evolve import evolve3D
+from ..ops.chemistry import ChemistryParams
+from ..ops.raytrace import RaytraceConfig, Raytracer
+from ..radiation import BlackBodySource, make_tau_table
+from ..utils.logutils import printlog
+from ..utils.sourceutils import format_sources
+
+try:
+    from yaml import CSafeLoader as SafeLoader
+except ImportError:
+    from yaml import SafeLoader
+
+__all__ = ["C2RaySimulation"]
+
+# Defaults for optional YAML keys (reference requires every key; missing ->
+# KeyError, TODO noted at c2ray_base.py:64-67)
+_DEFAULTS = {
+    "Grid": {"resume": 0},
+    "Photo": {"compute_heating_rates": 0, "grey": 0,
+              "SourceType": "blackbody"},
+    "Raytracing": {"source_batch_size": 8, "convergence_fraction": 1e-4,
+                   "loss_fraction": 1e-2, "subboxsize": 150,
+                   "max_subbox": 1000, "dtype": "float64"},
+    "Output": {"logfile": "pyC2Ray.log"},
+}
+
+
+class C2RaySimulation:
+    """Base class for a C2Ray-style reionization simulation on TPU."""
+
+    def __init__(self, paramfile, Nmesh, use_gpu=True, use_mpi=None,
+                 mesh=None):
+        """
+        Parameters
+        ----------
+        paramfile : str
+            YAML parameter file (same schema as the reference pyc2ray).
+        Nmesh : int
+            Mesh size.
+        use_gpu : bool
+            Accepted for API compatibility with the reference constructor
+            signature (c2ray_base.py:84); the TPU raytracer is always used.
+        use_mpi : optional
+            Accepted for API compatibility; ignored (see ``mesh``).
+        mesh : jax.sharding.Mesh, optional
+            Device mesh for multi-chip source-parallel raytracing.
+        """
+        del use_gpu, use_mpi  # single code path on TPU
+        self.rank = 0
+        self.mesh = mesh
+
+        self._read_paramfile(paramfile)
+        self.N = Nmesh
+        self.shape = (Nmesh, Nmesh, Nmesh)
+
+        self._param_init()
+        self._output_init()
+        self._grid_init()
+        self._cosmology_init()
+        self._redshift_init()
+        self._material_init()
+        self._sources_init()
+        self._radiation_init()
+        self._raytracer_init()
+        self.printlog("Starting simulation... \n\n")
+
+    # ==================================================================
+    # TIME-EVOLUTION METHODS (c2ray_base.py:147-257)
+    # ==================================================================
+    def set_timestep(self, z1, z2, num_timesteps):
+        """Timestep between two redshift slices, in seconds
+        (c2ray_base.py:147-168)."""
+        t1 = self.cosmology.lookback_time(z1)
+        t2 = self.cosmology.lookback_time(z2)
+        return (t1 - t2) / num_timesteps
+
+    def evolve3D(self, dt, src_flux, src_pos):
+        """Evolve the grid over one timestep (c2ray_base.py:170-226).
+
+        src_pos is (3, NumSrc) 1-indexed (reference convention)."""
+        pos, flux = format_sources(src_pos, src_flux)
+        self.xh, self.phi_ion = evolve3D(
+            dt, self.dr, flux, pos, self.raytracer, self.chem,
+            self.temp, self.ndens, self.xh,
+            convergence_fraction=self.convergence_fraction,
+            logfile=self.logfile, quiet=False)
+
+    def cosmo_evolve(self, dt):
+        """Dilute density / contract cell size over a timestep using the
+        half-step redshift convention (c2ray_base.py:229-257)."""
+        t_now = self.time
+        t_half = t_now + 0.5 * dt
+        t_after = t_now + dt
+        z_half = self.time2zred(t_half)
+        if self.cosmological:
+            dilution = ((1 + z_half) / (1 + self.zred)) ** 3
+            self.ndens = self.ndens * dilution
+            self.dr = self.dr_c * self.cosmology.scale_factor(z_half)
+        self.zred = z_half
+        self.time = t_after
+
+    def do_raytracing(self, src_flux, src_pos):
+        """Standalone Gamma computation (c2ray_base.py:300-323)."""
+        pos, flux = format_sources(src_pos, src_flux)
+        out = self.raytracer.trace(self.ndens, self.xh, pos, flux, self.dr)
+        if self.raytracer.config.do_heating:
+            self.phi_ion, self.phi_heat = np.asarray(out[0]), np.asarray(out[1])
+        else:
+            self.phi_ion = np.asarray(out)
+        return self.phi_ion
+
+    # ==================================================================
+    # UTILITY METHODS
+    # ==================================================================
+    def time2zred(self, t):
+        return self.cosmology.z_at_age(t)
+
+    def zred2time(self, z, unit="s"):
+        t = self.cosmology.age(z)
+        return t / YEAR if unit in ("yr", "yrs") else t
+
+    def printlog(self, s, quiet=False):
+        if self.logfile is None:
+            raise RuntimeError("Please set the log file in _output_init")
+        printlog(s, self.logfile, quiet)
+
+    def write_output(self, z):
+        pass
+
+    # ==================================================================
+    # INITIALIZATION (private; template hooks as in c2ray_base.py:466-484)
+    # ==================================================================
+    def _param_init(self):
+        """CGS constants & misc parameters -> attributes
+        (c2ray_base.py:329-352)."""
+        ld = self._ld
+        self.eth0 = ld["CGS"]["eth0"]
+        self.ethe0 = ld["CGS"]["ethe0"]
+        self.ethe1 = ld["CGS"]["ethe1"]
+        self.bh00 = ld["CGS"]["bh00"]
+        self.fh0 = ld["CGS"]["fh0"]
+        self.xih0 = ld["CGS"]["xih0"]
+        self.albpow = ld["CGS"]["albpow"]
+        self.abu_h = ld["Abundances"]["abu_h"]
+        self.abu_he = ld["Abundances"]["abu_he"]
+        self.mean_molecular = self.abu_h + 4.0 * self.abu_he
+        self.abu_c = ld["Abundances"]["abu_c"]
+        self.colh0 = ld["CGS"]["colh0_fact"] * self.fh0 * self.xih0 / self.eth0 ** 2
+        self.temph0 = self.eth0 * ev2k
+        self.sig = ld["Photo"]["sigma_HI_at_ion_freq"]
+        self.loss_fraction = ld["Raytracing"]["loss_fraction"]
+        self.convergence_fraction = ld["Raytracing"]["convergence_fraction"]
+        self.max_subbox = ld["Raytracing"]["max_subbox"]
+        self.subboxsize = ld["Raytracing"]["subboxsize"]
+        self.chem = ChemistryParams(
+            bh00=self.bh00, albpow=self.albpow, colh0=self.colh0,
+            temph0=self.temph0, abu_c=self.abu_c)
+
+    def _cosmology_init(self):
+        """(c2ray_base.py:354-373)"""
+        ld = self._ld
+        h = ld["Cosmology"]["h"]
+        self.cosmology = FlatLambdaCDM(
+            100 * h, ld["Cosmology"]["Omega0"],
+            Tcmb0=ld["Cosmology"]["cmbtemp"], Ob0=ld["Cosmology"]["Omega_B"])
+        self.cosmological = bool(ld["Cosmology"]["cosmological"])
+        self.zred_0 = ld["Cosmology"]["zred_0"]
+        self.age_0 = self.zred2time(self.zred_0)
+        if self.cosmological:
+            self.printlog(
+                f"Cosmology is on, scaling comoving quantities to the "
+                f"initial redshift, which is z0 = {self.zred_0:.3f}...")
+            self.dr = self.cosmology.scale_factor(self.zred_0) * self.dr_c
+        else:
+            self.printlog("Cosmology is off.")
+
+    def _radiation_init(self):
+        """Radiation tables (c2ray_base.py:375-443)."""
+        ld = self._ld
+        self.minlogtau = ld["Photo"]["minlogtau"]
+        self.maxlogtau = ld["Photo"]["maxlogtau"]
+        self.NumTau = ld["Photo"]["NumTau"]
+        self.SourceType = ld["Photo"]["SourceType"]
+        self.grey = bool(ld["Photo"]["grey"])
+        self.compute_heating_rates = bool(ld["Photo"]["compute_heating_rates"])
+
+        self.tau, self.dlogtau = make_tau_table(
+            self.minlogtau, self.maxlogtau, self.NumTau)
+
+        ion_freq_HI = ev2fr * self.eth0
+        ion_freq_HeII = ev2fr * self.ethe1
+
+        if self.SourceType == "blackbody":
+            freq_min = ion_freq_HI
+            freq_max = 10 * ion_freq_HeII
+            self.bb_Teff = ld["BlackBodySource"]["Teff"]
+            self.cs_pl_idx_h = ld["BlackBodySource"]["cross_section_pl_index"]
+            radsource = BlackBodySource(self.bb_Teff, self.grey,
+                                        ion_freq_HI, self.cs_pl_idx_h)
+            self.printlog(
+                f"Using Black-Body sources with effective temperature "
+                f"T = {radsource.temp:.1e} K")
+            self.printlog("Integrating photoionization rates tables...")
+            self.photo_thin_table, self.photo_thick_table = \
+                radsource.make_photo_table(self.tau, freq_min, freq_max, 1e48)
+            if self.compute_heating_rates:
+                self.printlog("Integrating photoheating rates tables...")
+                self.heat_thin_table, self.heat_thick_table = \
+                    radsource.make_heat_table(self.tau, freq_min, freq_max, 1e48)
+            else:
+                self.heat_thin_table = np.zeros(self.NumTau + 1)
+                self.heat_thick_table = np.zeros(self.NumTau + 1)
+        else:
+            raise NameError("Unknown source type: " + str(self.SourceType))
+
+    def _raytracer_init(self):
+        """Build the TPU raytracer (replaces device_init + table upload,
+        asora_core.py:20-58)."""
+        ld = self._ld
+        batch = int(ld["Raytracing"]["source_batch_size"])
+        dtype_name = str(ld["Raytracing"].get("dtype", "float64"))
+        dtype = {"float64": jnp.float64, "f64": jnp.float64,
+                 "float32": jnp.float32, "f32": jnp.float32}[dtype_name]
+        if dtype == jnp.float64:
+            import jax
+            jax.config.update("jax_enable_x64", True)
+        cfg = RaytraceConfig(
+            N=self.N, R_max_LLS=float(self.R_max_LLS), sig=float(self.sig),
+            batch_size=batch, dtype=dtype,
+            do_heating=self.compute_heating_rates)
+        self.raytracer = Raytracer(
+            cfg, self.photo_thin_table, self.photo_thick_table,
+            self.minlogtau, self.dlogtau,
+            self.heat_thin_table, self.heat_thick_table)
+        q_max = self.raytracer.geom_np.max_q
+        self.printlog(f"Using TPU octahedral raytracing (q_max = {q_max:n}, "
+                      f"batch = {batch:n}, dtype = {dtype_name})")
+
+    def _grid_init(self):
+        """(c2ray_base.py:445-462)"""
+        ld = self._ld
+        self.boxsize_c = ld["Grid"]["boxsize"] * Mpc
+        self.dr_c = self.boxsize_c / self.N
+        self.printlog(f"Welcome! Mesh size is N = {self.N:n}.")
+        self.printlog(f"Simulation box size (comoving Mpc): "
+                      f"{self.boxsize_c/Mpc:.3e}")
+        self.dr = self.dr_c
+        self.R_max_LLS = (ld["Photo"]["R_max_cMpc"] * self.N
+                          / ld["Grid"]["boxsize"])
+        self.printlog(f"Maximum comoving distance for photons from source "
+                      f"(type 3 LLS): {ld['Photo']['R_max_cMpc']:.3e} cMpc "
+                      f"= {self.R_max_LLS:.3f} grid cells.")
+
+    # -- subclass hooks -------------------------------------------------
+    def _output_init(self):
+        pass
+
+    def _redshift_init(self):
+        pass
+
+    def _material_init(self):
+        pass
+
+    def _sources_init(self):
+        pass
+
+    # ==================================================================
+    # PRIVATE
+    # ==================================================================
+    def _read_paramfile(self, paramfile):
+        """YAML with scientific-notation float resolver
+        (c2ray_base.py:490-507) + defaults layer."""
+        loader = SafeLoader
+        loader.add_implicit_resolver(
+            "tag:yaml.org,2002:float",
+            re.compile(r"""^(?:
+             [-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+            |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+            |\.[0-9_]+(?:[eE][-+][0-9]+)?
+            |[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\.[0-9_]*
+            |[-+]?\.(?:inf|Inf|INF)
+            |\.(?:nan|NaN|NAN))$""", re.X),
+            list("-+0123456789."))
+        with open(paramfile, "r") as f:
+            self._ld = yaml.load(f, loader)
+        for section, defaults in _DEFAULTS.items():
+            sec = self._ld.setdefault(section, {})
+            for key, val in defaults.items():
+                sec.setdefault(key, val)

@@ -1,0 +1,44 @@
+"""Output-scan helpers for resuming runs (reference utils/other_utils.py)."""
+
+import glob
+import os
+
+import numpy as np
+
+__all__ = ["get_redshifts_from_output", "find_bins", "get_source_redshifts"]
+
+
+def get_redshifts_from_output(output_dir, prefix="xfrac"):
+    """Scan an output directory for xfrac files and return their redshifts
+    sorted descending (reference other_utils.py:4-15)."""
+    zs = []
+    for f in glob.glob(os.path.join(output_dir, prefix + "*")):
+        base = os.path.basename(f)
+        core = base.replace(prefix, "").lstrip("_")
+        for ext in (".pkl", ".dat", ".npy", ".bin"):
+            if core.endswith(ext):
+                core = core[: -len(ext)]
+        try:
+            zs.append(float(core))
+        except ValueError:
+            continue
+    return np.sort(np.array(zs))[::-1]
+
+
+def find_bins(values, bin_edges):
+    """Map values into bins via np.digitize (other_utils.py:17-63)."""
+    return np.digitize(values, bin_edges)
+
+
+def get_source_redshifts(source_dir, pattern="*-coarsest_wsubgrid_sources.dat"):
+    """Scan a directory of CubeP3M source catalogs for their redshifts
+    (other_utils.py:66-92)."""
+    zs = []
+    for f in glob.glob(os.path.join(source_dir, pattern)):
+        base = os.path.basename(f)
+        z_str = base.split("-")[0]
+        try:
+            zs.append(float(z_str))
+        except ValueError:
+            continue
+    return np.sort(np.array(zs))[::-1]
