@@ -63,7 +63,7 @@ def make_sharded_step(raytracer: Raytracer, mesh, chem: ChemistryParams):
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(), P(axes), P(axes), P(), P()),
              out_specs=(P(), P(), P(), P(), P(), P()),
-             check_rep=False)
+             check_vma=False)
     def step(ndens, temp, xh, xh_av, pos_b, flux_b, dt, dr):
         # --- raytrace local source shard, then allreduce Gamma over ICI
         phi_local, _ = raytracer._trace_impl(ndens, xh_av, pos_b, flux_b, dr)
@@ -102,7 +102,7 @@ def trace_sharded(raytracer: Raytracer, mesh, ndens, xh_av, src_pos,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axes), P(axes), P()), out_specs=P(),
-             check_rep=False)
+             check_vma=False)
     def f(nd_, xh_, pos, flux, dr_):
         phi_local, _ = raytracer._trace_impl(nd_, xh_, pos, flux, dr_)
         return jax.lax.psum(phi_local, axes)
@@ -119,7 +119,7 @@ def global_pass_sharded(mesh, dt, ndens, temp, xh, xh_av, phi_ion,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(axes), P(axes), P(axes), P(axes), P(axes)),
              out_specs=(P(axes), P(axes), P()),
-             check_rep=False)
+             check_vma=False)
     def f(dt_, nd, tp, x0, xav, phi):
         xi, xa, cf = global_pass(dt_, nd, tp, x0, xav, phi, chem)
         return xi, xa, jax.lax.psum(cf, axes)

@@ -1,0 +1,103 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded raytrace and
+chemistry must reproduce the single-device results exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyc2ray_tpu.ops.chemistry import ChemistryParams, global_pass
+from pyc2ray_tpu.ops.raytrace import RaytraceConfig, Raytracer
+from pyc2ray_tpu.parallel import (make_mesh, trace_sharded,
+                                  global_pass_sharded, evolve3D_sharded)
+from pyc2ray_tpu.evolve import evolve3D
+
+from test_raytrace import TABLES, SIG, DR
+from test_evolve import CHEM
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multiple devices")
+
+
+def _mk(N, batch=2):
+    cfg = RaytraceConfig(N=N, R_max_LLS=1e9, sig=SIG, batch_size=batch,
+                         dtype=jnp.float64)
+    return Raytracer(cfg, TABLES[0], TABLES[1], TABLES[4], TABLES[5])
+
+
+def test_trace_sharded_matches_single():
+    N = 8
+    rng = np.random.RandomState(5)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0, 0.5, (N, N, N))
+    ns = 13  # awkward count: exercises padding over devices
+    src = rng.randint(0, N, size=(ns, 3))
+    flux = rng.uniform(0.5, 5.0, ns)
+
+    rt = _mk(N)
+    phi_single = np.asarray(rt.trace(ndens, xh, src, flux, DR))
+
+    mesh = make_mesh()  # all devices on the src axis
+    phi_shard = np.asarray(trace_sharded(rt, mesh, ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_shard, phi_single, rtol=1e-13)
+
+
+def test_trace_sharded_2d_mesh():
+    N = 8
+    rng = np.random.RandomState(6)
+    ndens = 1e-3 * np.ones((N, N, N))
+    xh = 1e-3 * np.ones((N, N, N))
+    src = rng.randint(0, N, size=(5, 3))
+    flux = np.ones(5)
+    rt = _mk(N)
+    phi_single = np.asarray(rt.trace(ndens, xh, src, flux, DR))
+    mesh = make_mesh(n_src=4, n_space=2)
+    phi_shard = np.asarray(trace_sharded(rt, mesh, ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_shard, phi_single, rtol=1e-13)
+
+
+def test_global_pass_sharded_matches_single():
+    rng = np.random.RandomState(7)
+    n = 8 ** 3
+    ndens = 10 ** rng.uniform(-4, -2, n)
+    temp = 1e4 * np.ones(n)
+    xh = 1.2e-3 * np.ones(n)
+    phi = 10 ** rng.uniform(-16, -8, n)
+    dt = 3.15e13
+
+    xi_s, xav_s, cf_s = global_pass(
+        dt, jnp.asarray(ndens), jnp.asarray(temp), jnp.asarray(xh),
+        jnp.asarray(xh), jnp.asarray(phi), CHEM)
+
+    mesh = make_mesh()
+    xi_p, xav_p, cf_p = global_pass_sharded(
+        mesh, dt, jnp.asarray(ndens), jnp.asarray(temp), jnp.asarray(xh),
+        jnp.asarray(xh), jnp.asarray(phi), CHEM)
+    np.testing.assert_allclose(np.asarray(xi_p), np.asarray(xi_s),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(xav_p), np.asarray(xav_s),
+                               rtol=1e-13)
+    assert int(cf_p) == int(cf_s)
+
+
+def test_evolve_sharded_matches_single(tmp_path):
+    N = 8
+    ndens = 2e-3 * np.ones((N, N, N))
+    temp = 1e4 * np.ones((N, N, N))
+    xh0 = 1.2e-3 * np.ones((N, N, N))
+    src = np.array([[4, 4, 4], [1, 2, 3], [6, 1, 7]])
+    flux = np.array([5.0, 2.0, 1.0])
+    dt = 1e13
+
+    rt = _mk(N, batch=1)
+    log1 = str(tmp_path / "single.log")
+    xh_s, phi_s = evolve3D(dt, DR, flux, src, rt, CHEM, temp, ndens, xh0,
+                           logfile=log1, quiet=True)
+
+    mesh = make_mesh(n_src=4, n_space=2)
+    log2 = str(tmp_path / "sharded.log")
+    xh_p, phi_p = evolve3D_sharded(dt, DR, flux, src, rt, mesh, CHEM,
+                                   temp, ndens, xh0, logfile=log2,
+                                   quiet=True)
+    np.testing.assert_allclose(xh_p, xh_s, rtol=1e-11)
+    np.testing.assert_allclose(phi_p, phi_s, rtol=1e-11)
