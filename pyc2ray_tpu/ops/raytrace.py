@@ -107,16 +107,24 @@ class Raytracer:
         Cp = g.offsets.shape[1]
         self.valid = jnp.arange(Cp, dtype=jnp.int32) < C  # non-padding lanes
 
+        # Tables are stored normalized by S_star so they are O(1) and fit
+        # float32; the S_star factor is restored in the volume prefactor
+        # (see _rates). The reference stores raw ~1e48-scale values
+        # (blackbody.py:71-85), which only works in float64.
         if not config.grey_analytic:
             assert photo_thin_table is not None and photo_thick_table is not None
-            self.photo_thin = jnp.asarray(photo_thin_table, dtype=dt)
-            self.photo_thick = jnp.asarray(photo_thick_table, dtype=dt)
+            self.photo_thin = jnp.asarray(
+                np.asarray(photo_thin_table) / S_STAR_REF, dtype=dt)
+            self.photo_thick = jnp.asarray(
+                np.asarray(photo_thick_table) / S_STAR_REF, dtype=dt)
             self.num_tau = photo_thin_table.shape[0] - 1
             self.minlogtau = float(minlogtau)
             self.dlogtau = float(dlogtau)
         if config.do_heating:
-            self.heat_thin = jnp.asarray(heat_thin_table, dtype=dt)
-            self.heat_thick = jnp.asarray(heat_thick_table, dtype=dt)
+            self.heat_thin = jnp.asarray(
+                np.asarray(heat_thin_table) / S_STAR_REF, dtype=dt)
+            self.heat_thick = jnp.asarray(
+                np.asarray(heat_thick_table) / S_STAR_REF, dtype=dt)
 
         self._trace_jit = jax.jit(self._trace_impl)
         self._sweep_jit = jax.jit(self._sweep)
@@ -208,20 +216,23 @@ class Raytracer:
         tau_out = cdo * sig
         dtau = dcol * sig
 
-        # shell volume factor (raytracing.cu:290-307)
-        vol = jnp.where(is_src, dr * dr * dr,
-                        self.dist2 * self.path * (FOURPI * dr * dr * dr))
+        # Volume prefactor S_star / vol_ph (raytracing.cu:290-307). dr^3 in
+        # cgs (~1e62) overflows float32, so the S_star/dr^3 part is formed
+        # in log space; the remaining geometric factor is O(1)..O(1e6).
+        s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
+                             - 3.0 * jnp.log(dr))
+        geom = jnp.where(is_src, 1.0,
+                         1.0 / (self.dist2 * self.path * FOURPI))
+        prefact = flux[:, None] * s_over_dr3 * geom
         thick_cell = dtau > TAU_PHOTO_LIMIT
 
         if cfg.grey_analytic:
-            prefact = (flux[:, None] * S_STAR_REF) / vol
             ein = jnp.exp(-tau_in)
             phi_thick = prefact * (ein - jnp.exp(-tau_out))
             phi_thin = prefact * dtau * ein
             phi_cell = jnp.where(thick_cell, phi_thick, phi_thin)
             heat_cell = None
         else:
-            prefact = flux[:, None] / vol
             thick_in = self._lookup(self.photo_thick, tau_in)
             thick_out = self._lookup(self.photo_thick, tau_out)
             thin_in = self._lookup(self.photo_thin, tau_in)
