@@ -195,7 +195,50 @@ def _bucket_plan(shell_size, lane=128):
 
 @lru_cache(maxsize=8)
 def build_geometry(N: int, max_q: int) -> OctaGeometry:
-    """Build the octahedral traversal tables for an N^3 periodic grid."""
+    """Build the octahedral traversal tables for an N^3 periodic grid.
+
+    Uses the native C++ builder (native/c2ray_native.cpp) when available —
+    bit-identical to the numpy path below (verified in tests/test_native.py)
+    and considerably faster for production meshes — falling back to
+    vectorized numpy otherwise."""
+    native = _try_native(N, max_q)
+    if native is not None:
+        return native
+    return _build_geometry_numpy(N, max_q)
+
+
+def _try_native(N: int, max_q: int):
+    try:
+        from ..native_ext import build_geometry_tables_native
+        out = build_geometry_tables_native(N, max_q)
+    except Exception:
+        return None
+    if out is None:
+        return None
+    offsets, nbr, sw, path, diag, dist2, shell_start, shell_size = out
+    C = offsets.shape[1]
+    buckets = _bucket_plan(shell_size)
+    pad = max((b[2] for b in buckets), default=128)
+    Cp = C + pad
+
+    def padded(a, fill=0):
+        out_ = np.full(a.shape[:-1] + (Cp,), fill, dtype=a.dtype)
+        out_[..., :C] = a
+        return out_
+
+    return OctaGeometry(
+        N=N, max_q=max_q, num_cells=C,
+        offsets=padded(offsets), nbr=padded(nbr), sw=padded(sw),
+        path=padded(path), diag=padded(diag, fill=1.0),
+        dist2=padded(dist2),
+        shell_start=shell_start.astype(np.int32),
+        shell_size=shell_size.astype(np.int32),
+        buckets=buckets,
+    )
+
+
+def _build_geometry_numpy(N: int, max_q: int) -> OctaGeometry:
+    """Pure-numpy geometry builder (reference path for tests/fallback)."""
     # periodic clip cube (raytracing.cu:122-123)
     last_r = N // 2 - 1 + (N % 2)
     last_l = -(N // 2)
