@@ -1,0 +1,56 @@
+"""Multi-source test (analog of test/paper_tests/test3_multisource and the
+unit_tests_hackathon multi-source cases): many random sources on a uniform
+grid; checks Gamma superposition against per-source runs and prints
+overlap statistics.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from pyc2ray_tpu.ops.raytrace import RaytraceConfig, Raytracer
+from pyc2ray_tpu.utils.sourceutils import generate_test_sourcefile, \
+    read_test_sources
+
+parser = argparse.ArgumentParser()
+parser.add_argument("-N", type=int, default=64)
+parser.add_argument("-numsrc", type=int, default=32)
+parser.add_argument("-R", type=float, default=1e9)
+args = parser.parse_args()
+
+N, ns = args.N, args.numsrc
+srcfile = "/tmp/_multisource_test.txt"
+generate_test_sourcefile(srcfile, N, ns, 1e50, seed=100)
+src_pos_1idx, src_flux = read_test_sources(srcfile, ns)
+src_pos = (src_pos_1idx.T - 1).astype(np.int32)
+
+dr = 2.0e21
+ndens = 1e-3 * np.ones((N, N, N))
+xh = 1.2e-3 * np.ones((N, N, N))
+cfg = RaytraceConfig(N=N, R_max_LLS=args.R, sig=6.30e-18, batch_size=8,
+                     dtype=jnp.float64, grey_analytic=True)
+rt = Raytracer(cfg)
+
+phi_all = np.asarray(rt.trace(ndens, xh, src_pos, src_flux, dr))
+
+# superposition: sum of single-source runs must equal the batched run
+phi_sum = np.zeros_like(phi_all)
+for i in range(ns):
+    phi_sum += np.asarray(rt.trace(ndens, xh, src_pos[i:i + 1],
+                                   src_flux[i:i + 1], dr))
+
+rel = np.abs(phi_all - phi_sum) / np.maximum(phi_sum, 1e-300)
+print(f"{ns} sources on {N}^3; max superposition error: {rel.max():.3e}")
+print(f"Gamma min/mean/max: {phi_all.min():.3e} {phi_all.mean():.3e} "
+      f"{phi_all.max():.3e}")
+ok = rel.max() < 1e-10
+print("PASSED" if ok else "FAILED")
+sys.exit(0 if ok else 1)

@@ -1,0 +1,83 @@
+"""Raytracing kernel benchmark harness.
+
+Reproduces the reference's Figure-8 methodology
+(test/paper_tests/raytracing_benchmark/run_test.py:45-113): sweep source
+counts and octahedron radii on an N^3 grid, time the raw raytrace call,
+and store timings normalized as t/(Ns * 4 pi R^3 / 3) (seconds per
+cell-update per source). Results are saved as a pickle with the same
+fields as the reference harness.
+
+Usage: python run_test.py [-N 250] [--numsrc 10 100 1000]
+                          [--R 10 30 50 100] [--reps 3] [--batch 8]
+"""
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-N", type=int, default=250)
+    parser.add_argument("--numsrc", type=int, nargs="+",
+                        default=[10, 100, 1000, 10000])
+    parser.add_argument("--R", type=float, nargs="+",
+                        default=[10.0, 30.0, 50.0, 100.0])
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--dtype", default="float32")
+    parser.add_argument("-o", default="timings.pkl")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from pyc2ray_tpu.ops.raytrace import RaytraceConfig, Raytracer
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    N = args.N
+    rng = np.random.RandomState(100)
+    ndens = jnp.asarray(1e-3 * np.ones(N ** 3), dtype)
+    xh = jnp.asarray(1.2e-3 * np.ones(N ** 3), dtype)
+    dr = jnp.asarray(6.7e20, dtype)
+
+    results = {"N": N, "batch_size": args.batch, "nreps": args.reps,
+               "ASORA": "pyc2ray-tpu", "timings": {}}
+    for R in args.R:
+        cfg = RaytraceConfig(N=N, R_max_LLS=R, sig=6.30e-18,
+                             batch_size=args.batch, dtype=dtype,
+                             grey_analytic=True)
+        rt = Raytracer(cfg)
+        for ns in args.numsrc:
+            pos_b, flux_b = rt.prepare_sources(
+                rng.randint(0, N, size=(ns, 3)), np.ones(ns))
+            # warmup/compile
+            phi, _ = rt._trace_jit(ndens, xh, pos_b, flux_b, dr)
+            phi.block_until_ready()
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                phi, _ = rt._trace_jit(ndens, xh, pos_b, flux_b, dr)
+                phi.block_until_ready()
+                ts.append(time.time() - t0)
+            t = min(ts)
+            norm = t / (ns * 4.0 / 3.0 * np.pi * R ** 3)
+            results["timings"][(R, ns)] = {"t": t, "ns_per_cell": 1e9 * norm}
+            print(f"R={R:6.1f} Ns={ns:7d}: {t:8.3f} s  "
+                  f"{1e9*norm:8.3f} ns/cell-update")
+
+    with open(args.o, "wb") as f:
+        pickle.dump(results, f)
+    print(f"saved {args.o}")
+
+
+if __name__ == "__main__":
+    main()

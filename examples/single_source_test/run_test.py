@@ -1,0 +1,133 @@
+"""Single black-body source regression test.
+
+Analog of the reference's golden test
+(test/unit_tests_hackathon/1_single_black_body/run_test.py): a uniform
+grid ionized by one 1e49 photons/s black-body source for 2 redshift slices
+x 10 timesteps. The reference compares against a stored original-C2Ray
+binary (not shipped in the repo); here the reference solution is produced
+by the sequential C2Ray-faithful native oracle running the identical
+evolve loop, and the same per-cell error statistics and tolerances are
+applied (run_test.py:89-118).
+
+Usage: python run_test.py [-N 32] [--full]   (--full uses N=128)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import pyc2ray_tpu as pc2r
+from pyc2ray_tpu.oracle import oracle_chemistry_global
+from pyc2ray_tpu.native_ext import (native_available, oracle_sweep_native,
+                                    chemistry_global_native)
+from pyc2ray_tpu.utils.sourceutils import format_sources
+
+parser = argparse.ArgumentParser()
+parser.add_argument("-N", type=int, default=32)
+parser.add_argument("--full", action="store_true",
+                    help="run the full 128^3 configuration")
+parser.add_argument("--numreds", type=int, default=2)
+parser.add_argument("--steps", type=int, default=10)
+args = parser.parse_args()
+
+N = 128 if args.full else args.N
+num_steps_between_slices = args.steps
+numzred = args.numreds
+paramfile = os.path.join(os.path.dirname(__file__), "parameters.yml")
+
+os.makedirs("./results", exist_ok=True)
+sim = pc2r.C2Ray_Test(paramfile, N, use_gpu=True)
+
+zred_array = sim.generate_redshift_array(numzred, 1e7)
+
+# single source at the grid center region (1-indexed convention)
+srcpos = np.array([[3 * N // 4], [3 * N // 4], [N // 2]], dtype=float)
+srcflux = np.array([1e49 / 1e48])
+
+avgdens = 1e-3
+ndens = avgdens * np.ones((N, N, N))
+sim.ndens = ndens.copy()
+
+# ---------------- oracle evolve loop (sequential reference) -------------
+def oracle_evolve_loop(dt, dr, xh, ndens, temp):
+    pos0, flux = format_sources(srcpos, srcflux)
+    tables = (sim.photo_thin_table, sim.photo_thick_table,
+              sim.heat_thin_table, sim.heat_thick_table,
+              sim.minlogtau, sim.dlogtau)
+    num_cells = N ** 3
+    conv_criterion = min(int(1e-4 * num_cells), 0)
+    prev1 = prev0 = 2.0 * num_cells
+    xh_av = xh.copy()
+    xh_int = xh.copy()
+    converged = False
+    while not converged:
+        phi, _, _ = oracle_sweep_native(ndens, xh_av, pos0, flux, dr,
+                                        sim.sig, sim.R_max_LLS,
+                                        tables=tables)
+        xh_int, xh_av, conv_flag = chemistry_global_native(
+            dt, ndens, temp, xh, xh_av, phi, sim.bh00, sim.albpow,
+            sim.colh0, sim.temph0, sim.abu_c)
+        s1, s0 = xh_int.sum(), (1 - xh_int).sum()
+        rel1 = abs((s1 - prev1) / s1) if s1 > 0 else 1.0
+        rel0 = abs((s0 - prev0) / s0) if s0 > 0 else 1.0
+        converged = (conv_flag < conv_criterion) or (rel1 < 1e-4 and
+                                                     rel0 < 1e-4)
+        prev1, prev0 = s1, s0
+    return xh_int
+
+
+if not native_available():
+    print("native oracle unavailable; cannot produce the reference "
+          "solution — aborting")
+    sys.exit(1)
+
+xh_oracle = sim.xh.copy()
+temp = sim.temp.copy()
+tinit = time.time()
+
+for k in range(len(zred_array) - 1):
+    zi, zf = zred_array[k], zred_array[k + 1]
+    dt = sim.set_timestep(zi, zf, num_steps_between_slices)
+    pc2r.printlog(f"Doing redshift {zi:.3f} to {zf:.3f}", sim.logfile)
+    for t in range(num_steps_between_slices):
+        sim.cosmo_evolve(dt)
+        sim.evolve3D(dt, srcflux, srcpos)
+        xh_oracle = oracle_evolve_loop(dt, sim.dr, xh_oracle, sim.ndens,
+                                       temp)
+
+pc2r.printlog(f"Done. Final time: {time.time()-tinit:.3f} s", sim.logfile)
+
+# ---------------- error statistics (run_test.py:70-118) -----------------
+xfrac_tpu = sim.xh
+abserr = xfrac_tpu - xh_oracle
+relerr = abserr / xh_oracle
+print("\n \n TEST RESULTS \n")
+print(f"Mean ionized fraction (oracle): {xh_oracle.mean():.12e}")
+print(f"Mean ionized fraction (TPU):    {xfrac_tpu.mean():.12e}")
+
+nfail = 0
+checks = [
+    ("Absolute mean", abserr.mean(), 1e-8),
+    ("Absolute std", abserr.std(), 3e-7),
+    ("Absolute max", abserr.max(), 5e-6),
+    ("Absolute min", abserr.min(), 5e-6),
+    ("Relative mean", relerr.mean(), 1e-7),
+    ("Relative std", relerr.std(), 3e-6),
+    ("Relative max", relerr.max(), 2e-5),
+    ("Relative min", relerr.min(), 2e-5),
+]
+for name, val, tol in checks:
+    ok = abs(val) <= tol
+    print(f"{name:16s}: {val: .7e}   {'PASSED' if ok else 'FAILED'}")
+    nfail += 0 if ok else 1
+
+print("\nALL TESTS PASSED" if nfail == 0 else f"\n{nfail} TEST(S) FAILED")
+sys.exit(0 if nfail == 0 else 1)
