@@ -131,19 +131,19 @@ class BoxRaytracer:
         return jnp.transpose(out, (0, 3, 4, 1, 2))       # (B,2,Q,Dc,Dc)
 
     def _unshear(self, H):
-        """Sheet stack (B, 2, Q, Dc, Dc) -> box (B, Dc_i, Dc_j, Dc_z)."""
+        """Sheet stack (B, 2, Q, Dc, Dc) -> box (B, Dc_i, Dc_j, Dc_z).
+
+        The gather must run along the minor axis to stay on the TPU
+        vectorized path, so the stack is transposed to put the shell axis
+        last before take_along_axis."""
         B = H.shape[0]
         g = self.geom
-        # gather along the shell axis per (i, j, z)
-        idx = jnp.broadcast_to(
-            jnp.transpose(self.qidx, (2, 0, 1))[None, None],
-            (B, 2, g.Dc, g.Dc, g.Dc))                    # z-major axis 2
-        out = jnp.take_along_axis(H, idx, axis=2)        # (B,2,Dz,Dc,Dc)
-        kpos = jnp.transpose(self.k_nonneg, (2, 0, 1))[None]
-        val = jnp.where(kpos, out[:, 0], out[:, 1])
-        uv = jnp.transpose(self.unshear_valid, (2, 0, 1))[None]
-        val = jnp.where(uv, val, 0.0)
-        return jnp.transpose(val, (0, 2, 3, 1))          # (B, i, j, z)
+        Ht = jnp.transpose(H, (0, 1, 3, 4, 2))           # (B,2,Dc,Dc,Q)
+        idx = jnp.broadcast_to(self.qidx[None, None],
+                               (B, 2, g.Dc, g.Dc, g.Dc))
+        out = jnp.take_along_axis(Ht, idx, axis=4)       # (B,2,Dc,Dc,Dz)
+        val = jnp.where(self.k_nonneg[None], out[:, 0], out[:, 1])
+        return jnp.where(self.unshear_valid[None], val, 0.0)  # (B,i,j,z)
 
     # ------------------------------------------------------------------
     def _sweep(self, H_nhi, dr):

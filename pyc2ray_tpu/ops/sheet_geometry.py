@@ -60,11 +60,14 @@ def build_sheet_geometry(N: int, max_q: int) -> SheetGeometry:
     last_l = -(N // 2)
     lo = max(last_l, -max_q)
     hi = min(last_r, max_q)
-    Dc = hi - lo + 1
     c = -lo
+    # pad the box side to a multiple of 8 (TPU sublane alignment; unaligned
+    # sides push take_along_axis off its vectorized path)
+    Dc = -(-(hi - lo + 1) // 8) * 8
     Q = max_q + 1
 
     ij = np.arange(Dc, dtype=np.int64) - c       # i (or j) offset per index
+    in_range = (ij >= lo) & (ij <= hi)
     I = ij[:, None, None] * np.ones((1, Dc, 1), dtype=np.int64)
     J = ij[None, :, None] * np.ones((Dc, 1, 1), dtype=np.int64)
     Qs = np.arange(Q, dtype=np.int64)[None, None, :]
@@ -96,9 +99,11 @@ def build_sheet_geometry(N: int, max_q: int) -> SheetGeometry:
                    & (jdela >= idela) & (jdela >= kdela) & ~origin)
 
     # validity masks in (Q, Dc, Dc) layout
-    Mq = np.transpose(np.broadcast_to(M, (Dc, Dc, Q)), (2, 0, 1))
     Kq = np.transpose(np.broadcast_to(K, (Dc, Dc, Q)), (2, 0, 1))
-    in_shell = Kq >= 0                            # m <= q
+    IJok = in_range[:, None] & in_range[None, :]          # (Dc, Dc)
+    IJokq = np.transpose(
+        np.broadcast_to(IJok[:, :, None], (Dc, Dc, Q)), (2, 0, 1))
+    in_shell = (Kq >= 0) & IJokq                  # m <= q, (i,j) in clip
     clip_top = (Kq >= lo) & (Kq <= hi)            # always true for k>=0<=hi
     clip_bot = (-Kq >= lo) & (-Kq <= hi)
     valid_top = in_shell & clip_top
@@ -114,9 +119,11 @@ def build_sheet_geometry(N: int, max_q: int) -> SheetGeometry:
     # unshear: for box cell (i, j, z): shell q = m + |z - c|
     Z = np.arange(Dc, dtype=np.int64)[None, None, :] - c
     Qbox = M + np.abs(Z)
-    unshear_valid = Qbox <= max_q
+    z_ok = (Z >= lo) & (Z <= hi)
+    unshear_valid = np.broadcast_to(
+        (Qbox <= max_q) & IJok[:, :, None] & z_ok, (Dc, Dc, Dc)).copy()
     qidx = np.clip(Qbox, 0, Q - 1).astype(np.int32)
-    k_nonneg = Z >= 0
+    k_nonneg = np.broadcast_to(Z >= 0, (Dc, Dc, Dc)).copy()
 
     return SheetGeometry(
         N=N, max_q=max_q, Dc=Dc, c=c, Q=Q,
