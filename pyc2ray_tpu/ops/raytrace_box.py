@@ -50,6 +50,31 @@ def grey_bins(dtype=np.float64):
                         w_heat=np.array([0.0]), num_bins=1)
 
 
+
+
+class BoxTables(NamedTuple):
+    """Device-resident traversal/spectral tables.
+
+    Passed as an explicit jit argument: on this TPU stack, arrays captured
+    by closure (compiled as constants) push every op in the program onto a
+    degraded execution path (measured ~1000x slower), so ALL device data
+    must flow through the function signature."""
+    sw: object
+    path: object
+    diag: object
+    dist2: object
+    in_z: object
+    in_y: object
+    valid: object
+    rate_valid: object
+    zidx: object
+    qidx: object
+    unshear_valid: object
+    k_nonneg: object
+    bins_s: object
+    bins_w: object
+    bins_wh: object
+
 class BoxRaytracer:
     """Batched multi-source raytracer, box/sheet formulation.
 
@@ -76,24 +101,23 @@ class BoxRaytracer:
             self.N, max_q_for(R_max_LLS, N))
         g = self.geom
         dt = dtype
-        self.sw = jnp.asarray(g.sw, dt)
-        self.path = jnp.asarray(g.path, dt)
-        self.diag = jnp.asarray(g.diag, dt)
-        self.dist2 = jnp.asarray(g.dist2, dt)
-        self.in_z = jnp.asarray(g.in_z)
-        self.in_y = jnp.asarray(g.in_y)
-        self.valid = jnp.asarray(
-            np.stack([g.valid_top, g.valid_bot]))        # (2, Q, Dc, Dc)
-        self.rate_valid = jnp.asarray(
-            np.stack([g.rate_top, g.rate_bot]))
-        self.zidx = jnp.asarray(g.zidx)                  # (Dc, Dc, 2Q)
-        self.qidx = jnp.asarray(g.qidx)                  # (Dc, Dc, Dc)
-        self.unshear_valid = jnp.asarray(g.unshear_valid)
-        self.k_nonneg = jnp.asarray(g.k_nonneg)
-        self.bins_s = jnp.asarray(bins.s, dt)
-        self.bins_w = jnp.asarray(bins.w_photo, dt)
-        self.bins_wh = jnp.asarray(bins.w_heat, dt)
         self.num_bins = bins.num_bins
+        self.tables = BoxTables(
+            sw=jnp.asarray(g.sw, dt),
+            path=jnp.asarray(g.path, dt),
+            diag=jnp.asarray(g.diag, dt),
+            dist2=jnp.asarray(g.dist2, dt),
+            in_z=jnp.asarray(g.in_z),
+            in_y=jnp.asarray(g.in_y),
+            valid=jnp.asarray(np.stack([g.valid_top, g.valid_bot])),
+            rate_valid=jnp.asarray(np.stack([g.rate_top, g.rate_bot])),
+            zidx=jnp.asarray(g.zidx),
+            qidx=jnp.asarray(g.qidx),
+            unshear_valid=jnp.asarray(g.unshear_valid),
+            k_nonneg=jnp.asarray(g.k_nonneg),
+            bins_s=jnp.asarray(bins.s, dt),
+            bins_w=jnp.asarray(bins.w_photo, dt),
+            bins_wh=jnp.asarray(bins.w_heat, dt))
 
         self._trace_jit = jax.jit(self._trace_impl)
 
@@ -120,17 +144,23 @@ class BoxRaytracer:
                                      (Dc, Dc, Dc))
         return lax.map(one, pos)
 
-    def _shear(self, boxes):
-        """(B, Dc, Dc, Dc) -> sheet stack (B, 2, Q, Dc, Dc)."""
+    def _shear(self, tb, boxes):
+        """(B, Dc, Dc, Dc) -> sheet stack (B, 2, Q, Dc, Dc).
+
+        The take_along_axis is wrapped in optimization barriers: letting
+        XLA fuse it with the following transpose pushes the gather off
+        its vectorized path (measured ~200x slower)."""
         B = boxes.shape[0]
         g = self.geom
-        idx = jnp.broadcast_to(self.zidx[None],
+        idx = jnp.broadcast_to(tb.zidx[None],
                                (B, g.Dc, g.Dc, 2 * g.Q))
+        boxes = lax.optimization_barrier(boxes)
         out = jnp.take_along_axis(boxes, idx, axis=3)    # (B,Dc,Dc,2Q)
+        out = lax.optimization_barrier(out)
         out = out.reshape(B, g.Dc, g.Dc, 2, g.Q)
         return jnp.transpose(out, (0, 3, 4, 1, 2))       # (B,2,Q,Dc,Dc)
 
-    def _unshear(self, H):
+    def _unshear(self, tb, H):
         """Sheet stack (B, 2, Q, Dc, Dc) -> box (B, Dc_i, Dc_j, Dc_z).
 
         The gather must run along the minor axis to stay on the TPU
@@ -139,14 +169,16 @@ class BoxRaytracer:
         B = H.shape[0]
         g = self.geom
         Ht = jnp.transpose(H, (0, 1, 3, 4, 2))           # (B,2,Dc,Dc,Q)
-        idx = jnp.broadcast_to(self.qidx[None, None],
+        idx = jnp.broadcast_to(tb.qidx[None, None],
                                (B, 2, g.Dc, g.Dc, g.Dc))
+        Ht = lax.optimization_barrier(Ht)
         out = jnp.take_along_axis(Ht, idx, axis=4)       # (B,2,Dc,Dc,Dz)
-        val = jnp.where(self.k_nonneg[None], out[:, 0], out[:, 1])
-        return jnp.where(self.unshear_valid[None], val, 0.0)  # (B,i,j,z)
+        out = lax.optimization_barrier(out)
+        val = jnp.where(tb.k_nonneg[None], out[:, 0], out[:, 1])
+        return jnp.where(tb.unshear_valid[None], val, 0.0)  # (B,i,j,z)
 
     # ------------------------------------------------------------------
-    def _sweep(self, H_nhi, dr):
+    def _sweep(self, tb, H_nhi, dr):
         """Causal shell sweep over the sheet stack.
 
         H_nhi: (B, 2, Q, Dc, Dc); returns H_cd of the same shape."""
@@ -201,16 +233,16 @@ class BoxRaytracer:
             F2xy = shift_y(F2x)
             F3xy = shift_y(shift_x(F3))
 
-            in_z = geom_at(self.in_z, qi)[None, None]
-            in_y = geom_at(self.in_y, qi)[None, None]
+            in_z = geom_at(tb.in_z, qi)[None, None]
+            in_y = geom_at(tb.in_y, qi)[None, None]
             c1 = F3xy
             c2 = jnp.where(in_z | in_y, F2y, F2x)
             c3 = jnp.where(in_z, F2x, F2xy)
             c4 = jnp.where(in_z, F1, jnp.where(in_y, F1y, F1x))
 
-            sw = geom_at(self.sw, qi, lead=(0,))         # (4, Dc, Dc)
-            pathq = geom_at(self.path, qi)
-            diagq = geom_at(self.diag, qi)
+            sw = geom_at(tb.sw, qi, lead=(0,))         # (4, Dc, Dc)
+            pathq = geom_at(tb.path, qi)
+            diagq = geom_at(tb.diag, qi)
             lim = jnp.asarray(0.6, dt)
             w1 = sw[0] / jnp.maximum(lim, c1 * sig)
             w2 = sw[1] / jnp.maximum(lim, c2 * sig)
@@ -221,7 +253,7 @@ class BoxRaytracer:
 
             nhi_q = sheet_at(H_nhi, qi)
             cdout = cdin + nhi_q * (pathq * dr)
-            vmask = geom_at(self.valid, qi, lead=(0,))[None]  # (1,2,Dc,Dc)
+            vmask = geom_at(tb.valid, qi, lead=(0,))[None]  # (1,2,Dc,Dc)
             new = jnp.where(vmask, cdout, 0.0)
             z = jnp.zeros((), jnp.int32)
             return lax.dynamic_update_slice(
@@ -230,7 +262,7 @@ class BoxRaytracer:
         return lax.fori_loop(1, g.Q, body, H_cd)
 
     # ------------------------------------------------------------------
-    def _rates(self, H_cd, H_nhi, flux, dr):
+    def _rates(self, tb, H_cd, H_nhi, flux, dr):
         """Spectral-bin rate pass over the sheet stack.
 
         Gamma_cell = prefact * sum_e w_e e^(-tau_in s_e) (-expm1(-dtau s_e))
@@ -240,7 +272,7 @@ class BoxRaytracer:
         g = self.geom
         dt = self.dtype
         sig = jnp.asarray(self.sig, dt)
-        dcol = H_nhi * (self.path[None, None] * dr)
+        dcol = H_nhi * (tb.path[None, None] * dr)
         cdin = H_cd - dcol
         tau_in = cdin * sig
         dtau = dcol * sig
@@ -254,22 +286,22 @@ class BoxRaytracer:
                              - 3.0 * jnp.log(dr))
         geom_fact = jnp.where(
             is_src, 1.0,
-            1.0 / (self.dist2[None, None] * self.path[None, None] * FOURPI))
+            1.0 / (tb.dist2[None, None] * tb.path[None, None] * FOURPI))
         prefact = flux[:, None, None, None, None] * s_over_dr3 * geom_fact
 
         acc = jnp.zeros_like(H_cd)
         acc_h = jnp.zeros_like(H_cd) if self.do_heating else None
         for e in range(self.num_bins):
-            se = self.bins_s[e]
+            se = tb.bins_s[e]
             core = jnp.exp(-tau_in * se) * (-jnp.expm1(-dtau * se))
-            acc = acc + self.bins_w[e] * core
+            acc = acc + tb.bins_w[e] * core
             if self.do_heating:
-                acc_h = acc_h + self.bins_wh[e] * core
+                acc_h = acc_h + tb.bins_wh[e] * core
 
         R2 = jnp.asarray(self.R_max_LLS ** 2, dt)
-        mask = (self.rate_valid[None]
+        mask = (tb.rate_valid[None]
                 & (cdin <= jnp.asarray(MAX_COLDENSH, dt))
-                & (self.dist2[None, None] <= R2))
+                & (tb.dist2[None, None] <= R2))
         phi = jnp.where(mask, prefact * acc / H_nhi, 0.0)
         heat = (jnp.where(mask, prefact * acc_h / H_nhi, 0.0)
                 if self.do_heating else None)
@@ -306,7 +338,7 @@ class BoxRaytracer:
             out = core
         return out
 
-    def _trace_impl(self, ndens3, xh3, pos_b, flux_b, dr):
+    def _trace_impl(self, tb, ndens3, xh3, pos_b, flux_b, dr):
         """Scan over source batches; returns (phi3, heat3) (N,N,N)."""
         g = self.geom
         N = self.N
@@ -322,10 +354,10 @@ class BoxRaytracer:
             phi_pad, heat_pad = carry
             pos, flux = xs
             boxes = self._extract_boxes(nhi_pad, pos)
-            H_nhi = self._shear(boxes)
-            H_cd = self._sweep(H_nhi, dr)
-            phi_H, heat_H = self._rates(H_cd, H_nhi, flux, dr)
-            phi_box = self._unshear(phi_H)
+            H_nhi = self._shear(tb, boxes)
+            H_cd = self._sweep(tb, H_nhi, dr)
+            phi_H, heat_H = self._rates(tb, H_cd, H_nhi, flux, dr)
+            phi_box = self._unshear(tb, phi_H)
 
             def accum(pad, boxes_v):
                 def one(p_acc, xs2):
@@ -339,7 +371,7 @@ class BoxRaytracer:
 
             phi_pad = accum(phi_pad, phi_box)
             if self.do_heating:
-                heat_pad = accum(heat_pad, self._unshear(heat_H))
+                heat_pad = accum(heat_pad, self._unshear(tb, heat_H))
             return (phi_pad, heat_pad), None
 
         (phi_pad, heat_pad), _ = lax.scan(
@@ -354,7 +386,7 @@ class BoxRaytracer:
         nd = jnp.asarray(np.asarray(ndens), self.dtype).reshape((self.N,) * 3)
         xh = jnp.asarray(np.asarray(xh_av), self.dtype).reshape((self.N,) * 3)
         pos_b, flux_b = self.prepare_sources(src_pos, src_flux)
-        phi, heat = self._trace_jit(nd, xh, pos_b, flux_b,
+        phi, heat = self._trace_jit(self.tables, nd, xh, pos_b, flux_b,
                                     jnp.asarray(dr, self.dtype))
         if self.do_heating:
             return phi, heat
