@@ -52,6 +52,9 @@ class SheetGeometry(NamedTuple):
     qidx: np.ndarray         # (Dc, Dc, Dc) int32 unshear: shell of box cell
     unshear_valid: np.ndarray  # (Dc, Dc, Dc) bool box cell is in octahedron
     k_nonneg: np.ndarray     # (Dc, Dc, Dc) bool box cell z >= source plane
+    mbits: np.ndarray        # (n_bits, Dc, Dc) bool: bits of m = |i|+|j|
+                             #   (drives the binary-decomposed shear shifts)
+    n_bits: int
 
 
 @lru_cache(maxsize=8)
@@ -125,8 +128,15 @@ def build_sheet_geometry(N: int, max_q: int) -> SheetGeometry:
     qidx = np.clip(Qbox, 0, Q - 1).astype(np.int32)
     k_nonneg = np.broadcast_to(Z >= 0, (Dc, Dc, Dc)).copy()
 
+    # bits of the per-column shift m = |i| + |j| (clamped to the largest
+    # meaningful shift) for the dense binary-decomposed shear
+    m2d = np.minimum(np.abs(ij)[:, None] + np.abs(ij)[None, :],
+                     2 * max_q).astype(np.int64)
+    n_bits = max(int(np.ceil(np.log2(max(int(m2d.max()), 1) + 1))), 1)
+    mbits = np.stack([(m2d >> b) & 1 for b in range(n_bits)]).astype(bool)
+
     return SheetGeometry(
-        N=N, max_q=max_q, Dc=Dc, c=c, Q=Q,
+        N=N, max_q=max_q, Dc=Dc, c=c, Q=Q, mbits=mbits, n_bits=n_bits,
         sw=sw, path=path, diag=diag, dist2=dist2,
         in_z=in_z, in_y=in_y,
         valid_top=valid_top, valid_bot=valid_bot,
