@@ -65,7 +65,11 @@ def build_cheb_geometry(N: int, max_q: int) -> ChebGeometry:
     lo = max(last_l, -max_q)
     hi = min(last_r, max_q)
     c = -lo
+    # round the box side up to a multiple of 8 (TPU sublane alignment),
+    # unless that would make the wrap padding exceed the mesh size
     Dc = -(-(hi - lo + 1) // 8) * 8
+    if Dc - 1 - c > N:
+        Dc = hi - lo + 1
     r_max = min(max_q, max(c, hi))
 
     ab = np.arange(Dc, dtype=np.int64) - c

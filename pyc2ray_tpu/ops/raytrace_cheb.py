@@ -94,14 +94,26 @@ class ChebRaytracer:
     def _sweep(self, tb, nhi_box, dr):
         """Cube-shell sweep over the cartesian box.
 
-        nhi_box: (B, Dc, Dc, Dc). Returns cd (B, Dc, Dc, Dc), the
-        outgoing column densities (coldensh_out)."""
+        nhi_box: (B, Dc, Dc, Dc) in (i, j, k) order. Returns cd of the
+        same shape (outgoing column densities).
+
+        Layout strategy: x-faces (planes i = c+-r, axis 1) and y-faces
+        (axis 2) are read/written directly in the box; z-faces live in a
+        per-shell stack Z (B, 2, R1, Dc_i, Dc_j) because minor-axis plane
+        updates of the box are ~100x more expensive on TPU tiling. The
+        cross-face dependencies are stitched with 1D line patches:
+          * the x/y stencil planes get their k = +-(r-1) lines from
+            Z[r-1];
+          * the z stencil plane Z[r-1] gets its i = +-r and j = +-r
+            lines from the box (x/y faces of shell r, just written).
+        The z-face values are folded back into the box after the loop."""
         g = self.geom
         dt = self.dtype
         sig = jnp.asarray(self.sig, dt)
         B = nhi_box.shape[0]
         c = g.c
         Dc = g.Dc
+        R1 = g.r_max + 1
         lim = jnp.asarray(0.6, dt)
 
         ar = lax.broadcasted_iota(jnp.int32, (Dc, Dc), 0)
@@ -119,93 +131,224 @@ class ChebRaytracer:
             dn = jnp.concatenate([P[:, :, :, 1:], P[:, :, :, -1:]], axis=3)
             return jnp.where(b_up, up, dn)
 
-        cd0 = jnp.zeros(nhi_box.shape, dtype=dt)
         src_cd = nhi_box[:, c, c, c] * (0.5 * dr)        # (B,)
+        cd0 = jnp.zeros(nhi_box.shape, dtype=dt)
         cd0 = cd0.at[:, c, c, c].set(src_cd)
+        Z0 = jnp.zeros((B, 2, R1, Dc, Dc), dtype=dt)
+        Z0 = Z0.at[:, :, 0, c, c].set(src_cd[:, None])
+        # nhi with k leading (for cheap z-plane reads): (B, k, i, j)
+        nhi_zT = jnp.transpose(nhi_box, (0, 3, 1, 2))
 
         z32 = jnp.zeros((), jnp.int32)
 
         def get_planes(arr, axis, idx_lo, idx_hi):
-            """Two parallel planes of a (B,X,Y,Z) array -> (B,2,Dc,Dc)."""
+            """Two parallel planes (axis 0 or 1) -> (B, 2, Dc, Dc)."""
             if axis == 0:
                 lo = lax.dynamic_slice(arr, (z32, idx_lo, z32, z32),
                                        (B, 1, Dc, Dc))[:, 0]
                 hi = lax.dynamic_slice(arr, (z32, idx_hi, z32, z32),
                                        (B, 1, Dc, Dc))[:, 0]
-            elif axis == 1:
+            else:
                 lo = lax.dynamic_slice(arr, (z32, z32, idx_lo, z32),
                                        (B, Dc, 1, Dc))[:, :, 0]
                 hi = lax.dynamic_slice(arr, (z32, z32, idx_hi, z32),
                                        (B, Dc, 1, Dc))[:, :, 0]
-            else:
-                lo = lax.dynamic_slice(arr, (z32, z32, z32, idx_lo),
-                                       (B, Dc, Dc, 1))[..., 0]
-                hi = lax.dynamic_slice(arr, (z32, z32, z32, idx_hi),
-                                       (B, Dc, Dc, 1))[..., 0]
             return jnp.stack([lo, hi], axis=1)
 
         def put_planes(arr, axis, idx_lo, idx_hi, planes):
-            lo = planes[:, 0]
-            hi = planes[:, 1]
+            lo, hi = planes[:, 0], planes[:, 1]
             if axis == 0:
                 arr = lax.dynamic_update_slice(
                     arr, lo[:, None], (z32, idx_lo, z32, z32))
                 arr = lax.dynamic_update_slice(
                     arr, hi[:, None], (z32, idx_hi, z32, z32))
-            elif axis == 1:
+            else:
                 arr = lax.dynamic_update_slice(
                     arr, lo[:, :, None], (z32, z32, idx_lo, z32))
                 arr = lax.dynamic_update_slice(
                     arr, hi[:, :, None], (z32, z32, idx_hi, z32))
-            else:
-                arr = lax.dynamic_update_slice(
-                    arr, lo[..., None], (z32, z32, z32, idx_lo))
-                arr = lax.dynamic_update_slice(
-                    arr, hi[..., None], (z32, z32, z32, idx_hi))
             return arr
 
-        def geom_r(arr, f, r, lead=0):
-            """Slice [f, (4,)? r] -> (..., Dc, Dc) static-f dynamic-r."""
-            if lead:
-                out = lax.dynamic_slice(
-                    arr, (jnp.int32(f), z32, r, z32, z32),
-                    (1, arr.shape[1], 1, Dc, Dc))
-                return out.reshape(arr.shape[1], Dc, Dc)
-            out = lax.dynamic_slice(arr, (jnp.int32(f), r, z32, z32),
-                                    (1, 1, Dc, Dc))
-            return out.reshape(Dc, Dc)
+        def zstack_at(Z, r):
+            return lax.dynamic_slice(Z, (z32, z32, r, z32, z32),
+                                     (B, 2, 1, Dc, Dc))[:, :, 0]
 
-        def body(r, cd):
+        ai_line = lax.broadcasted_iota(jnp.int32, (Dc,), 0)
+
+        def patch_k_lines(P, Zprev, ri, face):
+            """Overwrite the k = c±(r-1) columns of an x/y stencil plane
+            with z-face values from Z[r-1].
+
+            face 0 (x): P over (j, k); the stencil plane is i = c±(f±)(r-1),
+              so the z-line varies along j: slice Zprev on its i-axis.
+            face 1 (y): P over (i, k); plane is j = c±(r-1): slice Zprev on
+              its j-axis; the column endpoints |i'| >= r belong to x-faces
+              already present in P (from the box) and must be preserved.
+            """
+            if face == 0:
+                lo_ln = lax.dynamic_slice(Zprev, (z32, z32, c - ri + 1, z32),
+                                          (B, 2, 1, Dc))[:, :, 0]
+                hi_ln = lax.dynamic_slice(Zprev, (z32, z32, c + ri - 1, z32),
+                                          (B, 2, 1, Dc))[:, :, 0]
+            else:
+                lo_ln = lax.dynamic_slice(Zprev, (z32, z32, z32, c - ri + 1),
+                                          (B, 2, Dc, 1))[..., 0]
+                hi_ln = lax.dynamic_slice(Zprev, (z32, z32, z32, c + ri - 1),
+                                          (B, 2, Dc, 1))[..., 0]
+            # lines[b, f±, z±, a]
+            lines = jnp.stack([lo_ln, hi_ln], axis=1)
+            col_lo = lines[:, :, 0, :]    # for column k = c-(r-1)
+            col_hi = lines[:, :, 1, :]    # for column k = c+(r-1)
+            if face == 1:
+                # keep x-face values at the |i'-c| >= r endpoints
+                keep = (jnp.abs(ai_line - c) >= ri)[None, None, :]
+                cur_lo = lax.dynamic_slice(
+                    P, (z32, z32, z32, c - ri + 1), (B, 2, Dc, 1))[..., 0]
+                cur_hi = lax.dynamic_slice(
+                    P, (z32, z32, z32, c + ri - 1), (B, 2, Dc, 1))[..., 0]
+                col_lo = jnp.where(keep, cur_lo, col_lo)
+                col_hi = jnp.where(keep, cur_hi, col_hi)
+            P = lax.dynamic_update_slice(
+                P, col_lo[..., None], (z32, z32, z32, c - ri + 1))
+            P = lax.dynamic_update_slice(
+                P, col_hi[..., None], (z32, z32, z32, c + ri - 1))
+            return P
+
+        def face_update(P, nhi, f, ri):
+            Pa = sa(P)
+            Pb = sb(P)
+            Pab = sb(Pa)
+
+            def geom_r(arr, lead=0):
+                if lead:
+                    out = lax.dynamic_slice(
+                        arr, (jnp.int32(f), z32, ri, z32, z32),
+                        (1, arr.shape[1], 1, Dc, Dc))
+                    return out.reshape(arr.shape[1], Dc, Dc)
+                out = lax.dynamic_slice(arr, (jnp.int32(f), ri, z32, z32),
+                                        (1, 1, Dc, Dc))
+                return out.reshape(Dc, Dc)
+
+            swf = geom_r(tb.sw, lead=1)
+            pth = geom_r(tb.path)
+            dgf = geom_r(tb.diag)
+            w1 = swf[0] / jnp.maximum(lim, Pab * sig)
+            w2 = swf[1] / jnp.maximum(lim, Pb * sig)
+            w3 = swf[2] / jnp.maximum(lim, Pa * sig)
+            w4 = swf[3] / jnp.maximum(lim, P * sig)
+            cdin = dgf * (Pab * w1 + Pb * w2 + Pa * w3 + P * w4) \
+                / (w1 + w2 + w3 + w4)
+            cdout = cdin + nhi * (pth * dr)
+            mm = geom_r(tb.mask_m)
+            mp = geom_r(tb.mask_p)
+            mask = jnp.stack([mm, mp])[None]
+            return jnp.where(mask, cdout, 0.0), mask
+
+        def body(r, carry):
+            cd, Z = carry
             ri = r.astype(jnp.int32)
-            for f in range(3):
-                idx_lo_prev = c - ri + 1
-                idx_hi_prev = c + ri - 1
-                idx_lo = c - ri
-                idx_hi = c + ri
-                P = get_planes(cd, f, idx_lo_prev, idx_hi_prev)
-                nhi = get_planes(nhi_box, f, idx_lo, idx_hi)
-                Pa = sa(P)
-                Pb = sb(P)
-                Pab = sb(Pa)
-                swf = geom_r(tb.sw, f, ri, lead=1)       # (4, Dc, Dc)
-                pth = geom_r(tb.path, f, ri)
-                dgf = geom_r(tb.diag, f, ri)
-                w1 = swf[0] / jnp.maximum(lim, Pab * sig)
-                w2 = swf[1] / jnp.maximum(lim, Pb * sig)
-                w3 = swf[2] / jnp.maximum(lim, Pa * sig)
-                w4 = swf[3] / jnp.maximum(lim, P * sig)
-                cdin = dgf * (Pab * w1 + Pb * w2 + Pa * w3 + P * w4) \
-                    / (w1 + w2 + w3 + w4)
-                cdout = cdin + nhi * (pth * dr)
-                mm = geom_r(tb.mask_m, f, ri)
-                mp = geom_r(tb.mask_p, f, ri)
-                mask = jnp.stack([mm, mp])[None]          # (1,2,Dc,Dc)
-                old = get_planes(cd, f, idx_lo, idx_hi)
-                cd = put_planes(cd, f, idx_lo, idx_hi,
-                                jnp.where(mask, cdout, old))
-            return cd
+            Zprev = zstack_at(Z, ri - 1)
+            # ---- x faces (planes i = c±r, 2D over (j, k))
+            P = get_planes(cd, 0, c - ri + 1, c + ri - 1)
+            P = patch_k_lines(P, Zprev, ri, 0)
+            nhi = get_planes(nhi_box, 0, c - ri, c + ri)
+            new, mask = face_update(P, nhi, 0, ri)
+            old = get_planes(cd, 0, c - ri, c + ri)
+            cd = put_planes(cd, 0, c - ri, c + ri,
+                            jnp.where(mask, new, old))
+            # ---- y faces (planes j = c±r, 2D over (i, k))
+            P = get_planes(cd, 1, c - ri + 1, c + ri - 1)
+            P = patch_k_lines(P, Zprev, ri, 1)
+            nhi = get_planes(nhi_box, 1, c - ri, c + ri)
+            new, mask = face_update(P, nhi, 1, ri)
+            old = get_planes(cd, 1, c - ri, c + ri)
+            cd = put_planes(cd, 1, c - ri, c + ri,
+                            jnp.where(mask, new, old))
+            # ---- z faces (2D over (i, j)), stencil plane from the stack
+            P = Zprev
+            # Patched lines at c±r can fall outside the (asymmetric) box;
+            # dynamic indices then CLAMP onto valid planes, so out-of-range
+            # patches must be suppressed (the true out-of-clip values are
+            # zeros that are never read with weight).
+            ok_lo = (c - ri) >= 0
+            ok_hi = (c + ri) <= Dc - 1
 
-        return lax.fori_loop(1, g.r_max + 1, body, cd0)
+            def patched_line(where_ok, line, cur):
+                return jnp.where(where_ok, line, cur)
+
+            # patch i = ±r rows from the box x-planes (shell r, fresh):
+            # cell (±r, j', c±(r-1)) = box[c±r, j', c±(r-1)]
+            xlo = lax.dynamic_slice(cd, (z32, c - ri, z32, c - ri + 1),
+                                    (B, 1, Dc, 1))[:, 0, :, 0]
+            xlo_hi = lax.dynamic_slice(cd, (z32, c - ri, z32, c + ri - 1),
+                                       (B, 1, Dc, 1))[:, 0, :, 0]
+            xhi = lax.dynamic_slice(cd, (z32, c + ri, z32, c - ri + 1),
+                                    (B, 1, Dc, 1))[:, 0, :, 0]
+            xhi_hi = lax.dynamic_slice(cd, (z32, c + ri, z32, c + ri - 1),
+                                       (B, 1, Dc, 1))[:, 0, :, 0]
+            row_lo = jnp.stack([xlo, xlo_hi], axis=1)    # (B, 2(z±), Dc_j)
+            row_hi = jnp.stack([xhi, xhi_hi], axis=1)
+            cur_lo = lax.dynamic_slice(P, (z32, z32, c - ri, z32),
+                                       (B, 2, 1, Dc))[:, :, 0]
+            cur_hi = lax.dynamic_slice(P, (z32, z32, c + ri, z32),
+                                       (B, 2, 1, Dc))[:, :, 0]
+            P = lax.dynamic_update_slice(
+                P, patched_line(ok_lo, row_lo, cur_lo)[:, :, None],
+                (z32, z32, c - ri, z32))
+            P = lax.dynamic_update_slice(
+                P, patched_line(ok_hi, row_hi, cur_hi)[:, :, None],
+                (z32, z32, c + ri, z32))
+            # patch j = ±r columns from the box y-planes (shell r, fresh):
+            ylo = lax.dynamic_slice(cd, (z32, z32, c - ri, c - ri + 1),
+                                    (B, Dc, 1, 1))[:, :, 0, 0]
+            ylo_hi = lax.dynamic_slice(cd, (z32, z32, c - ri, c + ri - 1),
+                                       (B, Dc, 1, 1))[:, :, 0, 0]
+            yhi = lax.dynamic_slice(cd, (z32, z32, c + ri, c - ri + 1),
+                                    (B, Dc, 1, 1))[:, :, 0, 0]
+            yhi_hi = lax.dynamic_slice(cd, (z32, z32, c + ri, c + ri - 1),
+                                       (B, Dc, 1, 1))[:, :, 0, 0]
+            col_lo = jnp.stack([ylo, ylo_hi], axis=1)    # (B, 2(z±), Dc_i)
+            col_hi = jnp.stack([yhi, yhi_hi], axis=1)
+            ccur_lo = lax.dynamic_slice(P, (z32, z32, z32, c - ri),
+                                        (B, 2, Dc, 1))[..., 0]
+            ccur_hi = lax.dynamic_slice(P, (z32, z32, z32, c + ri),
+                                        (B, 2, Dc, 1))[..., 0]
+            P = lax.dynamic_update_slice(
+                P, patched_line(ok_lo, col_lo, ccur_lo)[..., None],
+                (z32, z32, z32, c - ri))
+            P = lax.dynamic_update_slice(
+                P, patched_line(ok_hi, col_hi, ccur_hi)[..., None],
+                (z32, z32, z32, c + ri))
+            nhi = get_planes(nhi_zT, 0, c - ri, c + ri)  # (B,2,Dc_i,Dc_j)
+            new, mask = face_update(P, nhi, 2, ri)
+            Z = lax.dynamic_update_slice(
+                Z, new[:, :, None], (z32, z32, ri, z32, z32))
+            return cd, Z
+
+        cd, Z = lax.fori_loop(1, g.r_max + 1, body, (cd0, Z0))
+
+        # fold the z-face stack back into the box: plane k = c±r <- Z[r]
+        zbox = jnp.zeros((B, Dc, Dc, Dc), dtype=dt)      # (B, k, i, j)
+        def fold_body(r, zbox):
+            ri = r.astype(jnp.int32)
+            Zr = zstack_at(Z, ri)
+            # guard against index clamping at the asymmetric box edges:
+            # an out-of-range plane write would land on a clamped index
+            # and overwrite valid data with masked zeros
+            def rmw(zbox, plane, idx, ok):
+                cur = lax.dynamic_slice(zbox, (z32, idx, z32, z32),
+                                        (B, 1, Dc, Dc))
+                new = jnp.where(ok, plane[:, None], cur)
+                return lax.dynamic_update_slice(zbox, new,
+                                                (z32, idx, z32, z32))
+            zbox = rmw(zbox, Zr[:, 0], c - ri, c - ri >= 0)
+            zbox = rmw(zbox, Zr[:, 1], c + ri, c + ri <= Dc - 1)
+            return zbox
+        zbox = lax.fori_loop(1, g.r_max + 1, fold_body, zbox)
+        cd = cd + jnp.transpose(zbox, (0, 2, 3, 1))
+        # center plane of zbox (r=0) only holds the duplicated source cell
+        # (already present in cd), so it is excluded by starting at r=1.
+        return cd
 
     # ------------------------------------------------------------------
     def _rates(self, tb, cd, nhi_box, flux, dr):

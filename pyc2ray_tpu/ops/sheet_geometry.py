@@ -65,8 +65,11 @@ def build_sheet_geometry(N: int, max_q: int) -> SheetGeometry:
     hi = min(last_r, max_q)
     c = -lo
     # pad the box side to a multiple of 8 (TPU sublane alignment; unaligned
-    # sides push take_along_axis off its vectorized path)
+    # sides push take_along_axis off its vectorized path), unless that
+    # would make the wrap padding exceed the mesh size
     Dc = -(-(hi - lo + 1) // 8) * 8
+    if Dc - 1 - c > N:
+        Dc = hi - lo + 1
     Q = max_q + 1
 
     ij = np.arange(Dc, dtype=np.int64) - c       # i (or j) offset per index
