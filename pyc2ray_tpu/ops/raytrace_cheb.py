@@ -92,21 +92,29 @@ class ChebRaytracer:
 
     # ------------------------------------------------------------------
     def _sweep(self, tb, nhi_box, dr):
-        """Cube-shell sweep over the cartesian box.
+        """Cube-shell sweep; returns cd (B, Dc, Dc, Dc) coldensh_out.
 
-        nhi_box: (B, Dc, Dc, Dc) in (i, j, k) order. Returns cd of the
-        same shape (outgoing column densities).
+        All sweep state lives in three per-shell face stacks with the
+        shell index LEADING (X/Y/Z: (R1, B, 2, Dc, Dc)), so every stack
+        read and write inside the loop is a contiguous plane — on this
+        TPU, middle/minor-axis dynamic updates of a large box cost a
+        full-buffer copy per shell (~2 ms), which dominated earlier
+        formulations. Cross-face stencil dependencies are stitched with
+        1D line patches between stacks; the stacks are folded into the
+        cartesian box once after the loop.
 
-        Layout strategy: x-faces (planes i = c+-r, axis 1) and y-faces
-        (axis 2) are read/written directly in the box; z-faces live in a
-        per-shell stack Z (B, 2, R1, Dc_i, Dc_j) because minor-axis plane
-        updates of the box are ~100x more expensive on TPU tiling. The
-        cross-face dependencies are stitched with 1D line patches:
-          * the x/y stencil planes get their k = +-(r-1) lines from
-            Z[r-1];
-          * the z stencil plane Z[r-1] gets its i = +-r and j = +-r
-            lines from the box (x/y faces of shell r, just written).
-        The z-face values are folded back into the box after the loop."""
+        Stencil-plane composition (plane at distance r-1 from the source,
+        read by face cells of shell r):
+          x-stencil (over j,k): interior X[r-1]; rows j=+-(r-1) from
+            Y[r-1]; cols k=+-(r-1) from Z[r-1] (corners (i,+-,+-) are
+            z-class, so the Z patch is applied last).
+          y-stencil (over i,k): interior Y[r-1] (incl. |i|=r-1 ties);
+            cols k=+-(r-1) from Z[r-1]; rows i=+-r from X[r] (same
+            shell, fresh; corners are x-class -> X patch last).
+          z-stencil (over i,j): interior Z[r-1]; rows i=+-r from X[r];
+            cols j=+-r from Y[r] (corners (+-r,+-r) are y-class ties ->
+            Y patch last).
+        """
         g = self.geom
         dt = self.dtype
         sig = jnp.asarray(self.sig, dt)
@@ -118,7 +126,7 @@ class ChebRaytracer:
 
         ar = lax.broadcasted_iota(jnp.int32, (Dc, Dc), 0)
         br = lax.broadcasted_iota(jnp.int32, (Dc, Dc), 1)
-        a_up = (ar >= c)[None, None]          # broadcast over (B, 2(+-))
+        a_up = (ar >= c)[None, None]
         b_up = (br >= c)[None, None]
 
         def sa(P):
@@ -132,87 +140,47 @@ class ChebRaytracer:
             return jnp.where(b_up, up, dn)
 
         src_cd = nhi_box[:, c, c, c] * (0.5 * dr)        # (B,)
-        cd0 = jnp.zeros(nhi_box.shape, dtype=dt)
-        cd0 = cd0.at[:, c, c, c].set(src_cd)
-        Z0 = jnp.zeros((B, 2, R1, Dc, Dc), dtype=dt)
-        Z0 = Z0.at[:, :, 0, c, c].set(src_cd[:, None])
-        # nhi with k leading (for cheap z-plane reads): (B, k, i, j)
-        nhi_zT = jnp.transpose(nhi_box, (0, 3, 1, 2))
+        stack0 = jnp.zeros((R1, B, 2, Dc, Dc), dtype=dt)
+        stack0 = stack0.at[0, :, :, c, c].set(src_cd[:, None])
+        X0 = Y0 = Z0 = stack0
+        # nhi in per-axis-leading layouts for cheap plane reads
+        nhi_x = nhi_box                                   # (B, i, j, k)
+        nhi_y = jnp.transpose(nhi_box, (0, 2, 1, 3))      # (B, j, i, k)
+        nhi_z = jnp.transpose(nhi_box, (0, 3, 1, 2))      # (B, k, i, j)
 
         z32 = jnp.zeros((), jnp.int32)
 
-        def get_planes(arr, axis, idx_lo, idx_hi):
-            """Two parallel planes (axis 0 or 1) -> (B, 2, Dc, Dc)."""
-            if axis == 0:
-                lo = lax.dynamic_slice(arr, (z32, idx_lo, z32, z32),
-                                       (B, 1, Dc, Dc))[:, 0]
-                hi = lax.dynamic_slice(arr, (z32, idx_hi, z32, z32),
-                                       (B, 1, Dc, Dc))[:, 0]
-            else:
-                lo = lax.dynamic_slice(arr, (z32, z32, idx_lo, z32),
-                                       (B, Dc, 1, Dc))[:, :, 0]
-                hi = lax.dynamic_slice(arr, (z32, z32, idx_hi, z32),
-                                       (B, Dc, 1, Dc))[:, :, 0]
+        def stack_at(S, r):
+            return lax.dynamic_slice(S, (r, z32, z32, z32, z32),
+                                     (1, B, 2, Dc, Dc))[0]
+
+        def nhi_planes(arr, idx_lo, idx_hi):
+            lo = lax.dynamic_slice(arr, (z32, idx_lo, z32, z32),
+                                   (B, 1, Dc, Dc))[:, 0]
+            hi = lax.dynamic_slice(arr, (z32, idx_hi, z32, z32),
+                                   (B, 1, Dc, Dc))[:, 0]
             return jnp.stack([lo, hi], axis=1)
 
-        def put_planes(arr, axis, idx_lo, idx_hi, planes):
-            lo, hi = planes[:, 0], planes[:, 1]
-            if axis == 0:
-                arr = lax.dynamic_update_slice(
-                    arr, lo[:, None], (z32, idx_lo, z32, z32))
-                arr = lax.dynamic_update_slice(
-                    arr, hi[:, None], (z32, idx_hi, z32, z32))
-            else:
-                arr = lax.dynamic_update_slice(
-                    arr, lo[:, :, None], (z32, z32, idx_lo, z32))
-                arr = lax.dynamic_update_slice(
-                    arr, hi[:, :, None], (z32, z32, idx_hi, z32))
-            return arr
+        def row_line(S, apos):
+            """(B, 2, Dc_b) line of a (B,2,Dc_a,Dc_b) plane at a=apos."""
+            return lax.dynamic_slice(S, (z32, z32, apos, z32),
+                                     (B, 2, 1, Dc))[:, :, 0]
 
-        def zstack_at(Z, r):
-            return lax.dynamic_slice(Z, (z32, z32, r, z32, z32),
-                                     (B, 2, 1, Dc, Dc))[:, :, 0]
+        def col_line(S, bpos):
+            return lax.dynamic_slice(S, (z32, z32, z32, bpos),
+                                     (B, 2, Dc, 1))[..., 0]
 
-        ai_line = lax.broadcasted_iota(jnp.int32, (Dc,), 0)
+        def put_row(P, row, apos, ok):
+            cur = row_line(P, apos)
+            return lax.dynamic_update_slice(
+                P, jnp.where(ok, row, cur)[:, :, None],
+                (z32, z32, apos, z32))
 
-        def patch_k_lines(P, Zprev, ri, face):
-            """Overwrite the k = c±(r-1) columns of an x/y stencil plane
-            with z-face values from Z[r-1].
-
-            face 0 (x): P over (j, k); the stencil plane is i = c±(f±)(r-1),
-              so the z-line varies along j: slice Zprev on its i-axis.
-            face 1 (y): P over (i, k); plane is j = c±(r-1): slice Zprev on
-              its j-axis; the column endpoints |i'| >= r belong to x-faces
-              already present in P (from the box) and must be preserved.
-            """
-            if face == 0:
-                lo_ln = lax.dynamic_slice(Zprev, (z32, z32, c - ri + 1, z32),
-                                          (B, 2, 1, Dc))[:, :, 0]
-                hi_ln = lax.dynamic_slice(Zprev, (z32, z32, c + ri - 1, z32),
-                                          (B, 2, 1, Dc))[:, :, 0]
-            else:
-                lo_ln = lax.dynamic_slice(Zprev, (z32, z32, z32, c - ri + 1),
-                                          (B, 2, Dc, 1))[..., 0]
-                hi_ln = lax.dynamic_slice(Zprev, (z32, z32, z32, c + ri - 1),
-                                          (B, 2, Dc, 1))[..., 0]
-            # lines[b, f±, z±, a]
-            lines = jnp.stack([lo_ln, hi_ln], axis=1)
-            col_lo = lines[:, :, 0, :]    # for column k = c-(r-1)
-            col_hi = lines[:, :, 1, :]    # for column k = c+(r-1)
-            if face == 1:
-                # keep x-face values at the |i'-c| >= r endpoints
-                keep = (jnp.abs(ai_line - c) >= ri)[None, None, :]
-                cur_lo = lax.dynamic_slice(
-                    P, (z32, z32, z32, c - ri + 1), (B, 2, Dc, 1))[..., 0]
-                cur_hi = lax.dynamic_slice(
-                    P, (z32, z32, z32, c + ri - 1), (B, 2, Dc, 1))[..., 0]
-                col_lo = jnp.where(keep, cur_lo, col_lo)
-                col_hi = jnp.where(keep, cur_hi, col_hi)
-            P = lax.dynamic_update_slice(
-                P, col_lo[..., None], (z32, z32, z32, c - ri + 1))
-            P = lax.dynamic_update_slice(
-                P, col_hi[..., None], (z32, z32, z32, c + ri - 1))
-            return P
+        def put_col(P, col, bpos, ok):
+            cur = col_line(P, bpos)
+            return lax.dynamic_update_slice(
+                P, jnp.where(ok, col, cur)[..., None],
+                (z32, z32, z32, bpos))
 
         def face_update(P, nhi, f, ri):
             Pa = sa(P)
@@ -242,112 +210,119 @@ class ChebRaytracer:
             mm = geom_r(tb.mask_m)
             mp = geom_r(tb.mask_p)
             mask = jnp.stack([mm, mp])[None]
-            return jnp.where(mask, cdout, 0.0), mask
+            return jnp.where(mask, cdout, 0.0)
+
+        def put_shell(S, r, planes):
+            return lax.dynamic_update_slice(
+                S, planes[None], (r, z32, z32, z32, z32))
+
+        def zsplit(lines):
+            """(B, 2(z±), Dc) -> per-sign pair used as (lo_col, hi_col)."""
+            return lines[:, 0:1], lines[:, 1:2]
 
         def body(r, carry):
-            cd, Z = carry
+            X, Y, Z = carry
             ri = r.astype(jnp.int32)
-            Zprev = zstack_at(Z, ri - 1)
-            # ---- x faces (planes i = c±r, 2D over (j, k))
-            P = get_planes(cd, 0, c - ri + 1, c + ri - 1)
-            P = patch_k_lines(P, Zprev, ri, 0)
-            nhi = get_planes(nhi_box, 0, c - ri, c + ri)
-            new, mask = face_update(P, nhi, 0, ri)
-            old = get_planes(cd, 0, c - ri, c + ri)
-            cd = put_planes(cd, 0, c - ri, c + ri,
-                            jnp.where(mask, new, old))
-            # ---- y faces (planes j = c±r, 2D over (i, k))
-            P = get_planes(cd, 1, c - ri + 1, c + ri - 1)
-            P = patch_k_lines(P, Zprev, ri, 1)
-            nhi = get_planes(nhi_box, 1, c - ri, c + ri)
-            new, mask = face_update(P, nhi, 1, ri)
-            old = get_planes(cd, 1, c - ri, c + ri)
-            cd = put_planes(cd, 1, c - ri, c + ri,
-                            jnp.where(mask, new, old))
-            # ---- z faces (2D over (i, j)), stencil plane from the stack
-            P = Zprev
-            # Patched lines at c±r can fall outside the (asymmetric) box;
-            # dynamic indices then CLAMP onto valid planes, so out-of-range
-            # patches must be suppressed (the true out-of-clip values are
-            # zeros that are never read with weight).
-            ok_lo = (c - ri) >= 0
-            ok_hi = (c + ri) <= Dc - 1
+            rm1 = ri - 1
+            Xp = stack_at(X, rm1)
+            Yp = stack_at(Y, rm1)
+            Zp = stack_at(Z, rm1)
+            alo = c - ri + 1        # index of -(r-1)
+            ahi = c + ri - 1
+            ok_lo_r = (c - ri) >= 0
+            ok_hi_r = (c + ri) <= Dc - 1
 
-            def patched_line(where_ok, line, cur):
-                return jnp.where(where_ok, line, cur)
+            # ---- x faces (plane over (j,k)); stencil from X/Y/Z[r-1]
+            P = Xp
+            # rows j=±(r-1) from Y[r-1] at (i-pos ±(r-1), k):
+            # Yp layout (B, 2(y±), Dc_i, Dc_k) -> line over k at i-pos
+            yl = row_line(Yp, alo)      # y- and y+ at i = -(r-1)
+            yh = row_line(Yp, ahi)      # at i = +(r-1)
+            # P is (B, 2(x±), Dc_j, Dc_k): for the x- plane (i=-(r-1))
+            # take the i=-(r-1) lines; for x+ the +(r-1) lines.
+            row_jlo = jnp.stack([yl[:, 0], yh[:, 0]], axis=1)
+            row_jhi = jnp.stack([yl[:, 1], yh[:, 1]], axis=1)
+            P = put_row(P, row_jlo, alo, True)
+            P = put_row(P, row_jhi, ahi, True)
+            # cols k=±(r-1) from Z[r-1] at (i-pos ±(r-1), j):
+            zl = row_line(Zp, alo)      # z-/z+ planes, line over j, i=-(r-1)
+            zh = row_line(Zp, ahi)
+            col_klo = jnp.stack([zl[:, 0], zh[:, 0]], axis=1)
+            col_khi = jnp.stack([zl[:, 1], zh[:, 1]], axis=1)
+            P = put_col(P, col_klo, alo, True)
+            P = put_col(P, col_khi, ahi, True)
+            nhi = nhi_planes(nhi_x, c - ri, c + ri)
+            Xnew = face_update(P, nhi, 0, ri)
+            X = put_shell(X, ri, Xnew)
 
-            # patch i = ±r rows from the box x-planes (shell r, fresh):
-            # cell (±r, j', c±(r-1)) = box[c±r, j', c±(r-1)]
-            xlo = lax.dynamic_slice(cd, (z32, c - ri, z32, c - ri + 1),
-                                    (B, 1, Dc, 1))[:, 0, :, 0]
-            xlo_hi = lax.dynamic_slice(cd, (z32, c - ri, z32, c + ri - 1),
-                                       (B, 1, Dc, 1))[:, 0, :, 0]
-            xhi = lax.dynamic_slice(cd, (z32, c + ri, z32, c - ri + 1),
-                                    (B, 1, Dc, 1))[:, 0, :, 0]
-            xhi_hi = lax.dynamic_slice(cd, (z32, c + ri, z32, c + ri - 1),
-                                       (B, 1, Dc, 1))[:, 0, :, 0]
-            row_lo = jnp.stack([xlo, xlo_hi], axis=1)    # (B, 2(z±), Dc_j)
-            row_hi = jnp.stack([xhi, xhi_hi], axis=1)
-            cur_lo = lax.dynamic_slice(P, (z32, z32, c - ri, z32),
-                                       (B, 2, 1, Dc))[:, :, 0]
-            cur_hi = lax.dynamic_slice(P, (z32, z32, c + ri, z32),
-                                       (B, 2, 1, Dc))[:, :, 0]
-            P = lax.dynamic_update_slice(
-                P, patched_line(ok_lo, row_lo, cur_lo)[:, :, None],
-                (z32, z32, c - ri, z32))
-            P = lax.dynamic_update_slice(
-                P, patched_line(ok_hi, row_hi, cur_hi)[:, :, None],
-                (z32, z32, c + ri, z32))
-            # patch j = ±r columns from the box y-planes (shell r, fresh):
-            ylo = lax.dynamic_slice(cd, (z32, z32, c - ri, c - ri + 1),
-                                    (B, Dc, 1, 1))[:, :, 0, 0]
-            ylo_hi = lax.dynamic_slice(cd, (z32, z32, c - ri, c + ri - 1),
-                                       (B, Dc, 1, 1))[:, :, 0, 0]
-            yhi = lax.dynamic_slice(cd, (z32, z32, c + ri, c - ri + 1),
-                                    (B, Dc, 1, 1))[:, :, 0, 0]
-            yhi_hi = lax.dynamic_slice(cd, (z32, z32, c + ri, c + ri - 1),
-                                       (B, Dc, 1, 1))[:, :, 0, 0]
-            col_lo = jnp.stack([ylo, ylo_hi], axis=1)    # (B, 2(z±), Dc_i)
-            col_hi = jnp.stack([yhi, yhi_hi], axis=1)
-            ccur_lo = lax.dynamic_slice(P, (z32, z32, z32, c - ri),
-                                        (B, 2, Dc, 1))[..., 0]
-            ccur_hi = lax.dynamic_slice(P, (z32, z32, z32, c + ri),
-                                        (B, 2, Dc, 1))[..., 0]
-            P = lax.dynamic_update_slice(
-                P, patched_line(ok_lo, col_lo, ccur_lo)[..., None],
-                (z32, z32, z32, c - ri))
-            P = lax.dynamic_update_slice(
-                P, patched_line(ok_hi, col_hi, ccur_hi)[..., None],
-                (z32, z32, z32, c + ri))
-            nhi = get_planes(nhi_zT, 0, c - ri, c + ri)  # (B,2,Dc_i,Dc_j)
-            new, mask = face_update(P, nhi, 2, ri)
-            Z = lax.dynamic_update_slice(
-                Z, new[:, :, None], (z32, z32, ri, z32, z32))
-            return cd, Z
+            # ---- y faces (plane over (i,k)); stencil Y[r-1] + Z[r-1] + X[r]
+            P = Yp
+            # cols k=±(r-1) from Z[r-1] at (j-pos ±(r-1), i): line over i
+            zcl = col_line(Zp, alo)     # z± planes, line over i, j=-(r-1)
+            zch = col_line(Zp, ahi)
+            col_klo = jnp.stack([zcl[:, 0], zch[:, 0]], axis=1)
+            col_khi = jnp.stack([zcl[:, 1], zch[:, 1]], axis=1)
+            P = put_col(P, col_klo, alo, True)
+            P = put_col(P, col_khi, ahi, True)
+            # rows i=±r from X[r] at (j-pos ±(r-1), k): line over k
+            xl = row_line(Xnew, alo)    # x± planes, line over k, j=-(r-1)
+            xh2 = row_line(Xnew, ahi)
+            row_ilo = jnp.stack([xl[:, 0], xh2[:, 0]], axis=1)
+            row_ihi = jnp.stack([xl[:, 1], xh2[:, 1]], axis=1)
+            P = put_row(P, row_ilo, c - ri, ok_lo_r)
+            P = put_row(P, row_ihi, c + ri, ok_hi_r)
+            nhi = nhi_planes(nhi_y, c - ri, c + ri)
+            Ynew = face_update(P, nhi, 1, ri)
+            Y = put_shell(Y, ri, Ynew)
 
-        cd, Z = lax.fori_loop(1, g.r_max + 1, body, (cd0, Z0))
+            # ---- z faces (plane over (i,j)); stencil Z[r-1] + X[r] + Y[r]
+            P = Zp
+            # rows i=±r from X[r] at (k-pos ±(r-1), j): line over j
+            xcl = col_line(Xnew, alo)   # x± planes, line over j, k=-(r-1)
+            xch = col_line(Xnew, ahi)
+            row_ilo = jnp.stack([xcl[:, 0], xch[:, 0]], axis=1)
+            row_ihi = jnp.stack([xcl[:, 1], xch[:, 1]], axis=1)
+            P = put_row(P, row_ilo, c - ri, ok_lo_r)
+            P = put_row(P, row_ihi, c + ri, ok_hi_r)
+            # cols j=±r from Y[r] at (k-pos ±(r-1), i): line over i
+            ycl = col_line(Ynew, alo)
+            ych = col_line(Ynew, ahi)
+            col_jlo = jnp.stack([ycl[:, 0], ych[:, 0]], axis=1)
+            col_jhi = jnp.stack([ycl[:, 1], ych[:, 1]], axis=1)
+            P = put_col(P, col_jlo, c - ri, ok_lo_r)
+            P = put_col(P, col_jhi, c + ri, ok_hi_r)
+            nhi = nhi_planes(nhi_z, c - ri, c + ri)
+            Znew = face_update(P, nhi, 2, ri)
+            Z = put_shell(Z, ri, Znew)
+            return X, Y, Z
 
-        # fold the z-face stack back into the box: plane k = c±r <- Z[r]
-        zbox = jnp.zeros((B, Dc, Dc, Dc), dtype=dt)      # (B, k, i, j)
-        def fold_body(r, zbox):
-            ri = r.astype(jnp.int32)
-            Zr = zstack_at(Z, ri)
-            # guard against index clamping at the asymmetric box edges:
-            # an out-of-range plane write would land on a clamped index
-            # and overwrite valid data with masked zeros
-            def rmw(zbox, plane, idx, ok):
-                cur = lax.dynamic_slice(zbox, (z32, idx, z32, z32),
-                                        (B, 1, Dc, Dc))
-                new = jnp.where(ok, plane[:, None], cur)
-                return lax.dynamic_update_slice(zbox, new,
-                                                (z32, idx, z32, z32))
-            zbox = rmw(zbox, Zr[:, 0], c - ri, c - ri >= 0)
-            zbox = rmw(zbox, Zr[:, 1], c + ri, c + ri <= Dc - 1)
-            return zbox
-        zbox = lax.fori_loop(1, g.r_max + 1, fold_body, zbox)
-        cd = cd + jnp.transpose(zbox, (0, 2, 3, 1))
-        # center plane of zbox (r=0) only holds the duplicated source cell
-        # (already present in cd), so it is excluded by starting at r=1.
+        X, Y, Z = lax.fori_loop(1, R1, body, (X0, Y0, Z0))
+
+        # ---- fold the stacks back into the cartesian box
+        def fold(stack):
+            """(R1, B, 2, Dc, Dc) -> (B, Dc(axis), Dc_a, Dc_b)."""
+            box = jnp.zeros((B, Dc, Dc, Dc), dtype=dt)
+
+            def fbody(r, box):
+                ri = r.astype(jnp.int32)
+                Sr = stack_at(stack, ri)
+
+                def rmw(box, plane, idx, ok):
+                    cur = lax.dynamic_slice(box, (z32, idx, z32, z32),
+                                            (B, 1, Dc, Dc))
+                    new = jnp.where(ok, plane[:, None], cur)
+                    return lax.dynamic_update_slice(box, new,
+                                                    (z32, idx, z32, z32))
+                box = rmw(box, Sr[:, 0], c - ri, (c - ri) >= 0)
+                box = rmw(box, Sr[:, 1], c + ri, (c + ri) <= Dc - 1)
+                return box
+
+            return lax.fori_loop(1, R1, fbody, box)
+
+        cd = fold(X)                                      # (B, i, j, k)
+        cd = cd + jnp.transpose(fold(Y), (0, 2, 1, 3))    # (B, j, i, k) -> T
+        cd = cd + jnp.transpose(fold(Z), (0, 2, 3, 1))    # (B, k, i, j) -> T
+        cd = cd.at[:, c, c, c].set(src_cd)                # source cell
         return cd
 
     # ------------------------------------------------------------------
