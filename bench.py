@@ -3,8 +3,15 @@
 Reproduces the reference's raytracing-benchmark methodology
 (test/paper_tests/raytracing_benchmark/run_test.py:45-113): N^3 grid,
 Ns sources at random positions, octahedron radius R, timing normalized as
-t / (Ns * 4/3 pi R^3) seconds per cell-update per source — the quantity the
-ASORA paper's Figure 8 reports in ns/cell on a P100.
+t / (Ns * 4/3 pi R^3) seconds per cell-update per source — the quantity
+the ASORA paper's Figure 8 reports in ns/cell on a P100.
+
+Engine: the Chebyshev-face sweep (ops/raytrace_cheb.py) with black-body
+spectral-bin rates, float32, plus the on-device chemistry pass.
+
+Timing note: on this TPU stack ``block_until_ready`` does not reliably
+block, so every measurement is closed by fetching a scalar from the
+result (forces completion through the data dependency).
 
 Prints ONE JSON line:
   {"metric": "raytrace+chem Mcell-updates/s/chip@256^3", "value": ...,
@@ -12,8 +19,8 @@ Prints ONE JSON line:
 
 vs_baseline compares the raytrace-only ns/cell against ASORA's converged
 P100 floor. The reference repo stores no number (BASELINE.md: "harness +
-formula only"); we use 2.0 ns/cell-update as the documented anchor estimate
-for the P100 floor, so vs_baseline = 2.0 / ours_ns.
+formula only"); 2.0 ns/cell-update is used as the documented anchor
+estimate for the P100 floor, so vs_baseline = 2.0 / ours_ns.
 """
 
 import json
@@ -28,27 +35,23 @@ BASELINE_NS_PER_CELL = 2.0  # assumed ASORA P100 converged floor (see above)
 def main():
     import jax
     import jax.numpy as jnp
-    from pyc2ray_tpu.ops.raytrace import RaytraceConfig, Raytracer
+    from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer
     from pyc2ray_tpu.ops.chemistry import ChemistryParams, global_pass
-    from pyc2ray_tpu.radiation import make_tau_table, BlackBodySource
+    from pyc2ray_tpu.radiation import BlackBodySource
+    from pyc2ray_tpu.radiation.spectral_bins import make_spectral_bins
     from pyc2ray_tpu.constants import ev2fr
 
     N = 256
     R = 30.0
-    NS = 1024
-    BATCH = 8
+    NS = 512
+    BATCH = 32
     NREPS = 3
     dtype = jnp.float32
 
-    # radiation tables (NumTau=2000, production config point)
-    tau, dlogtau = make_tau_table(-20.0, 4.0, 2000)
-    bb = BlackBodySource(5e4, False, ev2fr * 13.598, 2.8)
-    thin, thick = bb.make_photo_table(tau, ev2fr * 13.598,
-                                      10 * ev2fr * 54.416, 1e48)
-
-    cfg = RaytraceConfig(N=N, R_max_LLS=R, sig=6.30e-18, batch_size=BATCH,
-                         dtype=dtype)
-    rt = Raytracer(cfg, thin, thick, -20.0, dlogtau)
+    fmin, fmax = ev2fr * 13.598, 10 * ev2fr * 54.416
+    bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
+                              fmin, fmax, panels=8, nodes=8)
+    rt = ChebRaytracer(N, R, 6.30e-18, bins, batch_size=BATCH, dtype=dtype)
     chem = ChemistryParams(bh00=2.59e-13, albpow=-0.7,
                            colh0=1.3e-8 * 0.83 / (13.598 ** 2),
                            temph0=13.598 / 8.617e-05, abu_c=7.1e-7)
@@ -62,36 +65,33 @@ def main():
     dr = jnp.asarray(6.7e20, dtype)
     dt = jnp.asarray(3.15e13, dtype)
 
-    def full_step(nd, tp, x0, xav, pb, fb, dt_, dr_):
-        phi, _ = rt._trace_impl(nd, xav, pb, fb, dr_)
-        xi, xa, cf = global_pass(dt_, nd, tp, x0, xav, phi, chem)
-        return xi, xa, phi, cf
+    def sync(x):
+        return float(jnp.ravel(x)[0])
 
-    step_jit = jax.jit(full_step)
-
-    # warmup (compile)
+    # --- raytrace-only -------------------------------------------------
     t0 = time.time()
-    out = step_jit(ndens, temp, xh, xh, pos_b, flux_b, dt, dr)
-    jax.block_until_ready(out)
+    phi, _ = rt.trace_batches(ndens, xh, pos_b, flux_b, dr)
+    sync(phi)
     compile_s = time.time() - t0
-
-    # raytrace-only timing
     tr = []
     for _ in range(NREPS):
         t0 = time.time()
-        phi, _ = rt._trace_jit(ndens, xh, pos_b, flux_b, dr)
-        phi.block_until_ready()
+        phi, _ = rt.trace_batches(ndens, xh, pos_b, flux_b, dr)
+        sync(phi)
         tr.append(time.time() - t0)
     t_ray = min(tr)
 
-    # full step timing (raytrace + chemistry)
-    tf = []
+    # --- chemistry -----------------------------------------------------
+    xi, xa, cf = global_pass(dt, ndens, temp, xh, xh, phi, chem)
+    sync(xi)
+    tc = []
     for _ in range(NREPS):
         t0 = time.time()
-        out = step_jit(ndens, temp, xh, xh, pos_b, flux_b, dt, dr)
-        jax.block_until_ready(out)
-        tf.append(time.time() - t0)
-    t_full = min(tf)
+        xi, xa, cf = global_pass(dt, ndens, temp, xh, xh, phi, chem)
+        sync(xi)
+        tc.append(time.time() - t0)
+    t_chem = min(tc)
+    t_full = t_ray + t_chem
 
     cells_per_src = 4.0 / 3.0 * np.pi * R ** 3
     updates = NS * cells_per_src
@@ -100,11 +100,11 @@ def main():
     mcell_ray = updates / t_ray / 1e6
 
     detail = {
-        "N": N, "R": R, "num_src": NS, "batch": BATCH,
-        "dtype": "float32",
-        "t_raytrace_s": round(t_ray, 4), "t_full_step_s": round(t_full, 4),
+        "N": N, "R": R, "num_src": NS, "batch": BATCH, "dtype": "float32",
+        "engine": "chebyshev-face sweep + spectral bins (64)",
+        "t_raytrace_s": round(t_ray, 4), "t_chemistry_s": round(t_chem, 4),
         "compile_s": round(compile_s, 1),
-        "ns_per_cell_update_raytrace": round(ns_per_cell_ray, 4),
+        "ns_per_cell_update_raytrace": round(ns_per_cell_ray, 3),
         "Mcell_per_s_raytrace": round(mcell_ray, 1),
         "device": str(jax.devices()[0]),
     }

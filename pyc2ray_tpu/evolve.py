@@ -22,7 +22,7 @@ from .utils.logutils import printlog
 __all__ = ["evolve3D", "EvolveResult"]
 
 
-def evolve3D(dt, dr, src_flux, src_pos, raytracer: Raytracer,
+def evolve3D(dt, dr, src_flux, src_pos, raytracer,
              chem: ChemistryParams, temp, ndens, xh,
              convergence_fraction=1e-4, logfile=None, quiet=False,
              max_iterations=100):
@@ -80,7 +80,7 @@ def evolve3D(dt, dr, src_flux, src_pos, raytracer: Raytracer,
         niter += 1
 
         t0 = time.time()
-        phi_ion, _ = raytracer._trace_jit(ndens_d, xh_av, pos_b, flux_b, dr_d)
+        phi_ion, _ = raytracer.trace_batches(ndens_d, xh_av, pos_b, flux_b, dr_d)
         phi_ion.block_until_ready()
         printlog(f"Raytracing took {time.time()-t0:.3f} s.", logfile, quiet)
 

@@ -49,7 +49,8 @@ _DEFAULTS = {
               "SourceType": "blackbody"},
     "Raytracing": {"source_batch_size": 8, "convergence_fraction": 1e-4,
                    "loss_fraction": 1e-2, "subboxsize": 150,
-                   "max_subbox": 1000, "dtype": "float64"},
+                   "max_subbox": 1000, "dtype": "float64",
+                   "engine": "flat"},
     "Output": {"logfile": "pyC2Ray.log"},
 }
 
@@ -253,17 +254,37 @@ class C2RaySimulation:
         if dtype == jnp.float64:
             import jax
             jax.config.update("jax_enable_x64", True)
-        cfg = RaytraceConfig(
-            N=self.N, R_max_LLS=float(self.R_max_LLS), sig=float(self.sig),
-            batch_size=batch, dtype=dtype,
-            do_heating=self.compute_heating_rates)
-        self.raytracer = Raytracer(
-            cfg, self.photo_thin_table, self.photo_thick_table,
-            self.minlogtau, self.dlogtau,
-            self.heat_thin_table, self.heat_thick_table)
-        q_max = self.raytracer.geom_np.max_q
-        self.printlog(f"Using TPU octahedral raytracing (q_max = {q_max:n}, "
-                      f"batch = {batch:n}, dtype = {dtype_name})")
+        engine = str(ld["Raytracing"].get("engine", "flat"))
+        if engine == "cheb":
+            # production fast path: Chebyshev-face sweep + spectral bins
+            from ..ops.raytrace_cheb import ChebRaytracer
+            from ..radiation.spectral_bins import make_spectral_bins
+            ion_freq_HI = ev2fr * self.eth0
+            bins = make_spectral_bins(
+                BlackBodySource(self.bb_Teff, self.grey, ion_freq_HI,
+                                self.cs_pl_idx_h),
+                ion_freq_HI, 10 * ev2fr * self.ethe1)
+            self.raytracer = ChebRaytracer(
+                self.N, float(self.R_max_LLS), float(self.sig), bins,
+                batch_size=batch, dtype=dtype,
+                do_heating=self.compute_heating_rates)
+            self.printlog(
+                f"Using TPU Chebyshev-face raytracing (r_max = "
+                f"{self.raytracer.geom.r_max:n}, {bins.num_bins} spectral "
+                f"bins, batch = {batch:n}, dtype = {dtype_name})")
+        else:
+            cfg = RaytraceConfig(
+                N=self.N, R_max_LLS=float(self.R_max_LLS),
+                sig=float(self.sig), batch_size=batch, dtype=dtype,
+                do_heating=self.compute_heating_rates)
+            self.raytracer = Raytracer(
+                cfg, self.photo_thin_table, self.photo_thick_table,
+                self.minlogtau, self.dlogtau,
+                self.heat_thin_table, self.heat_thick_table)
+            q_max = self.raytracer.geom_np.max_q
+            self.printlog(
+                f"Using TPU octahedral raytracing (q_max = {q_max:n}, "
+                f"batch = {batch:n}, dtype = {dtype_name})")
 
     def _grid_init(self):
         """(c2ray_base.py:445-462)"""

@@ -72,6 +72,26 @@ class RaytraceConfig(NamedTuple):
     do_heating: bool = False
 
 
+
+
+class FlatTables(NamedTuple):
+    """Device-resident traversal tables for the flat engine, passed as an
+    explicit jit argument (closure-captured arrays poison execution on the
+    target TPU stack — see raytrace_box.BoxTables)."""
+    offsets: object
+    nbr: object
+    sw: object
+    path: object
+    diag: object
+    dist2: object
+    shell_start: object
+    shell_size: object
+    valid: object
+    photo_thin: object
+    photo_thick: object
+    heat_thin: object
+    heat_thick: object
+
 class Raytracer:
     """Batched multi-source raytracer over a periodic N^3 grid.
 
@@ -94,18 +114,21 @@ class Raytracer:
             config.N, max_q_for(config.R_max_LLS, config.N))
         g = self.geom_np
 
-        # Device-resident traversal tables
-        self.offsets = jnp.asarray(g.offsets)            # (3, Cp) int32
-        self.nbr = jnp.asarray(g.nbr)                    # (4, Cp) int32
-        self.sw = jnp.asarray(g.sw, dtype=dt)            # (4, Cp)
-        self.path = jnp.asarray(g.path, dtype=dt)        # (Cp,)
-        self.diag = jnp.asarray(g.diag, dtype=dt)        # (Cp,)
-        self.dist2 = jnp.asarray(g.dist2, dtype=dt)      # (Cp,)
-        self.shell_start = jnp.asarray(g.shell_start)    # (max_q+2,) int32
-        self.shell_size = jnp.asarray(g.shell_size)      # (max_q+1,) int32
         C = g.num_cells
         Cp = g.offsets.shape[1]
-        self.valid = jnp.arange(Cp, dtype=jnp.int32) < C  # non-padding lanes
+        zeros_t = jnp.zeros(1, dtype=dt)
+        self._tb_kw = dict(
+            offsets=jnp.asarray(g.offsets),
+            nbr=jnp.asarray(g.nbr),
+            sw=jnp.asarray(g.sw, dtype=dt),
+            path=jnp.asarray(g.path, dtype=dt),
+            diag=jnp.asarray(g.diag, dtype=dt),
+            dist2=jnp.asarray(g.dist2, dtype=dt),
+            shell_start=jnp.asarray(g.shell_start),
+            shell_size=jnp.asarray(g.shell_size),
+            valid=jnp.arange(Cp, dtype=jnp.int32) < C,
+            photo_thin=zeros_t, photo_thick=zeros_t,
+            heat_thin=zeros_t, heat_thick=zeros_t)
 
         # Tables are stored normalized by S_star so they are O(1) and fit
         # float32; the S_star factor is restored in the volume prefactor
@@ -113,18 +136,19 @@ class Raytracer:
         # (blackbody.py:71-85), which only works in float64.
         if not config.grey_analytic:
             assert photo_thin_table is not None and photo_thick_table is not None
-            self.photo_thin = jnp.asarray(
+            self._tb_kw["photo_thin"] = jnp.asarray(
                 np.asarray(photo_thin_table) / S_STAR_REF, dtype=dt)
-            self.photo_thick = jnp.asarray(
+            self._tb_kw["photo_thick"] = jnp.asarray(
                 np.asarray(photo_thick_table) / S_STAR_REF, dtype=dt)
             self.num_tau = photo_thin_table.shape[0] - 1
             self.minlogtau = float(minlogtau)
             self.dlogtau = float(dlogtau)
         if config.do_heating:
-            self.heat_thin = jnp.asarray(
+            self._tb_kw["heat_thin"] = jnp.asarray(
                 np.asarray(heat_thin_table) / S_STAR_REF, dtype=dt)
-            self.heat_thick = jnp.asarray(
+            self._tb_kw["heat_thick"] = jnp.asarray(
                 np.asarray(heat_thick_table) / S_STAR_REF, dtype=dt)
+        self.tables = FlatTables(**self._tb_kw)
 
         self._trace_jit = jax.jit(self._trace_impl)
         self._sweep_jit = jax.jit(self._sweep)
@@ -132,7 +156,7 @@ class Raytracer:
     # ------------------------------------------------------------------
     # building blocks
     # ------------------------------------------------------------------
-    def _lin_idx(self, src_pos):
+    def _lin_idx(self, tb, src_pos):
         """Flat C-order grid indices of the octahedron cells of each source.
 
         src_pos: (B, 3) int32, 0-indexed. Applies the periodic wrap
@@ -140,12 +164,12 @@ class Raytracer:
         image (raytracing.cu:241).
         """
         N = self.config.N
-        p = src_pos[:, :, None] + self.offsets[None, :, :]   # (B, 3, Cp)
+        p = src_pos[:, :, None] + tb.offsets[None, :, :]   # (B, 3, Cp)
         p = jnp.where(p < 0, p + N, p)
         p = jnp.where(p >= N, p - N, p)
         return (p[:, 0] * N + p[:, 1]) * N + p[:, 2]          # (B, Cp)
 
-    def _sweep(self, nhi_octa, dr):
+    def _sweep(self, tb, nhi_octa, dr):
         """Causal shell sweep: outgoing HI column density per cell.
 
         nhi_octa: (B, Cp) neutral hydrogen density in octahedral layout.
@@ -161,12 +185,12 @@ class Raytracer:
 
         def make_body(S):
             def body(q, cdo):
-                off = self.shell_start[q]
+                off = tb.shell_start[q]
                 z = jnp.zeros((), dtype=off.dtype)
-                nbr = lax.dynamic_slice(self.nbr, (z, off), (4, S))
-                sw = lax.dynamic_slice(self.sw, (z, off), (4, S))
-                dg = lax.dynamic_slice(self.diag, (off,), (S,))
-                pth = lax.dynamic_slice(self.path, (off,), (S,))
+                nbr = lax.dynamic_slice(tb.nbr, (z, off), (4, S))
+                sw = lax.dynamic_slice(tb.sw, (z, off), (4, S))
+                dg = lax.dynamic_slice(tb.diag, (off,), (S,))
+                pth = lax.dynamic_slice(tb.path, (off,), (S,))
                 nhi = lax.dynamic_slice(nhi_octa, (z, off), (B, S))
                 # gather the 4 corner column densities (cinterp_gpu reads,
                 # raytracing.cu:416-419)
@@ -174,7 +198,7 @@ class Raytracer:
                 w = sw[None] / jnp.maximum(jnp.asarray(0.6, dt), c * sig)
                 cdin = dg * (c * w).sum(axis=1) / w.sum(axis=1)
                 cdout = cdin + nhi * (pth * dr)
-                lane = lax.broadcasted_iota(jnp.int32, (1, S), 1) < self.shell_size[q]
+                lane = lax.broadcasted_iota(jnp.int32, (1, S), 1) < tb.shell_size[q]
                 cur = lax.dynamic_slice(cdo, (z, off), (B, S))
                 return lax.dynamic_update_slice(
                     cdo, jnp.where(lane, cdout, cur), (z, off))
@@ -197,7 +221,7 @@ class Raytracer:
         t1 = table[i1]
         return t0 + resid * (t1 - t0)
 
-    def _rates(self, cdo, nhi_octa, flux, dr):
+    def _rates(self, tb, cdo, nhi_octa, flux, dr):
         """Dense photoionization(+heating)-rate pass over the octahedron.
 
         Implements photoion_rates / photoion_rates_test
@@ -210,7 +234,7 @@ class Raytracer:
         sig = jnp.asarray(cfg.sig, dt)
         is_src = (jnp.arange(cdo.shape[1]) == 0)[None, :]
 
-        dcol = nhi_octa * (self.path * dr)       # exact nHI * path
+        dcol = nhi_octa * (tb.path * dr)       # exact nHI * path
         cdin = cdo - dcol
         tau_in = cdin * sig
         tau_out = cdo * sig
@@ -222,7 +246,7 @@ class Raytracer:
         s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
                              - 3.0 * jnp.log(dr))
         geom = jnp.where(is_src, 1.0,
-                         1.0 / (self.dist2 * self.path * FOURPI))
+                         1.0 / (tb.dist2 * tb.path * FOURPI))
         prefact = flux[:, None] * s_over_dr3 * geom
         thick_cell = dtau > TAU_PHOTO_LIMIT
 
@@ -233,25 +257,25 @@ class Raytracer:
             phi_cell = jnp.where(thick_cell, phi_thick, phi_thin)
             heat_cell = None
         else:
-            thick_in = self._lookup(self.photo_thick, tau_in)
-            thick_out = self._lookup(self.photo_thick, tau_out)
-            thin_in = self._lookup(self.photo_thin, tau_in)
+            thick_in = self._lookup(tb.photo_thick, tau_in)
+            thick_out = self._lookup(tb.photo_thick, tau_out)
+            thin_in = self._lookup(tb.photo_thin, tau_in)
             phi_cell = jnp.where(thick_cell,
                                  prefact * (thick_in - thick_out),
                                  prefact * dtau * thin_in)
             heat_cell = None
             if cfg.do_heating:
-                h_thick_in = self._lookup(self.heat_thick, tau_in)
-                h_thick_out = self._lookup(self.heat_thick, tau_out)
-                h_thin_in = self._lookup(self.heat_thin, tau_in)
+                h_thick_in = self._lookup(tb.heat_thick, tau_in)
+                h_thick_out = self._lookup(tb.heat_thick, tau_out)
+                h_thin_in = self._lookup(tb.heat_thin, tau_in)
                 heat_cell = jnp.where(thick_cell,
                                       prefact * (h_thick_in - h_thick_out),
                                       prefact * dtau * h_thin_in)
 
         # LLS / max-column-density cutoffs (raytracing.cu:315)
         R2 = jnp.asarray(cfg.R_max_LLS, dt) ** 2
-        mask = ((cdin <= MAX_COLDENSH) & (self.dist2 <= R2)
-                & self.valid[None, :])
+        mask = ((cdin <= MAX_COLDENSH) & (tb.dist2 <= R2)
+                & tb.valid[None, :])
         phi = jnp.where(mask, phi_cell / nhi_octa, 0.0)
         if heat_cell is not None:
             heat = jnp.where(mask, heat_cell / nhi_octa, 0.0)
@@ -261,7 +285,7 @@ class Raytracer:
     # ------------------------------------------------------------------
     # full trace
     # ------------------------------------------------------------------
-    def _trace_impl(self, ndens_flat, xh_flat, src_pos_b, src_flux_b, dr):
+    def _trace_impl(self, tb, ndens_flat, xh_flat, src_pos_b, src_flux_b, dr):
         """Scan over source batches, accumulating the rate grid(s).
 
         src_pos_b: (nb, B, 3) int32; src_flux_b: (nb, B).
@@ -271,10 +295,10 @@ class Raytracer:
 
         def step(carry, xs):
             pos, flux = xs
-            lin = self._lin_idx(pos)                      # (B, Cp)
+            lin = self._lin_idx(tb, pos)                      # (B, Cp)
             nhi_octa = nhi_flat[lin]
-            cdo = self._sweep(nhi_octa, dr)
-            phi, heat = self._rates(cdo, nhi_octa, flux, dr)
+            cdo = self._sweep(tb, nhi_octa, dr)
+            phi, heat = self._rates(tb, cdo, nhi_octa, flux, dr)
             phi_grid, heat_grid = carry
             phi_grid = phi_grid.at[lin.ravel()].add(
                 phi.ravel(), mode="promise_in_bounds")
@@ -287,6 +311,19 @@ class Raytracer:
         (phi_grid, heat_grid), _ = lax.scan(
             step, (zero, zero), (src_pos_b, src_flux_b))
         return phi_grid, heat_grid
+
+
+    # -- uniform engine API --------------------------------------------
+    def trace_batches(self, nd, xh, pos_b, flux_b, dr):
+        """Device-level batched trace on prepared sources; flat-grid IO."""
+        phi, heat = self._trace_jit(self.tables, nd.reshape(-1),
+                                    xh.reshape(-1), pos_b, flux_b, dr)
+        return phi, heat
+
+    def shard_trace(self, tb, nd_flat, xh_flat, pos_b, flux_b, dr):
+        """Per-shard trace body for shard_map (tables passed explicitly)."""
+        phi, _ = self._trace_impl(tb, nd_flat, xh_flat, pos_b, flux_b, dr)
+        return phi
 
     def prepare_sources(self, src_pos, src_flux):
         """Pad and reshape sources to (nb, B, ...) batches.
@@ -324,7 +361,7 @@ class Raytracer:
         nd = jnp.asarray(ndens, dtype=cfg.dtype).reshape(-1)
         xh = jnp.asarray(xh_av, dtype=cfg.dtype).reshape(-1)
         pos_b, flux_b = self.prepare_sources(src_pos, src_flux)
-        phi, heat = self._trace_jit(nd, xh, pos_b, flux_b,
+        phi, heat = self._trace_jit(self.tables, nd, xh, pos_b, flux_b,
                                     jnp.asarray(dr, cfg.dtype))
         if cfg.do_heating:
             return phi.reshape(shape3), heat.reshape(shape3)
@@ -337,9 +374,9 @@ class Raytracer:
         nd = jnp.asarray(ndens, dtype=cfg.dtype).reshape(-1)
         xh = jnp.asarray(xh_av, dtype=cfg.dtype).reshape(-1)
         pos = jnp.asarray(np.asarray(src_pos_single, dtype=np.int32)[None, :])
-        lin = self._lin_idx(pos)
+        lin = jax.jit(self._lin_idx)(self.tables, pos)
         nhi = (nd * (1.0 - xh))[lin]
-        cdo = self._sweep_jit(nhi, jnp.asarray(dr, cfg.dtype))
+        cdo = self._sweep_jit(self.tables, nhi, jnp.asarray(dr, cfg.dtype))
         out = jnp.zeros(cfg.N ** 3, dtype=cfg.dtype)
         C = self.geom_np.num_cells
         out = out.at[lin[0, :C]].set(cdo[0, :C])

@@ -24,6 +24,7 @@ from ..constants import S_STAR_REF, MAX_COLDENSH
 from ..radiation.spectral_bins import SpectralBins
 from .geometry import max_q_for
 from .cheb_geometry import ChebGeometry, build_cheb_geometry
+from .raytrace import RaytraceConfig
 from .raytrace_box import grey_bins
 
 __all__ = ["ChebRaytracer", "ChebTables"]
@@ -59,6 +60,11 @@ class ChebRaytracer:
         self.batch_size = int(batch_size)
         self.dtype = dtype
         self.do_heating = bool(do_heating)
+        # config shim so evolve3D and the models treat engines uniformly
+        self.config = RaytraceConfig(
+            N=self.N, R_max_LLS=self.R_max_LLS, sig=self.sig,
+            batch_size=self.batch_size, dtype=dtype,
+            grey_analytic=(bins.num_bins == 1), do_heating=do_heating)
         self.geom: ChebGeometry = build_cheb_geometry(
             self.N, max_q_for(R_max_LLS, N))
         g = self.geom
@@ -89,6 +95,23 @@ class ChebRaytracer:
         flx[:ns] = np.asarray(src_flux, dtype=np.float64)
         return (jnp.asarray(pos.reshape(nb, B, 3)),
                 jnp.asarray(flx.reshape(nb, B), dtype=self.dtype))
+
+
+    # -- uniform engine API --------------------------------------------
+    def trace_batches(self, nd, xh, pos_b, flux_b, dr):
+        """Device-level batched trace on prepared sources; flat-grid IO."""
+        sh = (self.N,) * 3
+        phi, heat = self._trace_jit(self.tables, nd.reshape(sh),
+                                    xh.reshape(sh), pos_b, flux_b, dr)
+        return (phi.reshape(-1),
+                heat.reshape(-1) if heat is not None else None)
+
+    def shard_trace(self, tb, nd_flat, xh_flat, pos_b, flux_b, dr):
+        """Per-shard trace body for shard_map (tables passed explicitly)."""
+        sh = (self.N,) * 3
+        phi, _ = self._trace_impl(tb, nd_flat.reshape(sh),
+                                  xh_flat.reshape(sh), pos_b, flux_b, dr)
+        return phi.reshape(-1)
 
     # ------------------------------------------------------------------
     def _sweep(self, tb, nhi_box, dr):
@@ -140,9 +163,15 @@ class ChebRaytracer:
             return jnp.where(b_up, up, dn)
 
         src_cd = nhi_box[:, c, c, c] * (0.5 * dr)        # (B,)
-        stack0 = jnp.zeros((R1, B, 2, Dc, Dc), dtype=dt)
-        stack0 = stack0.at[0, :, :, c, c].set(src_cd[:, None])
-        X0 = Y0 = Z0 = stack0
+
+        def init_stack():
+            # three DISTINCT buffers: aliased loop carries would force XLA
+            # to copy every stack on every shell iteration (measured ~2/3
+            # of the sweep time)
+            s = jnp.zeros((R1, B, 2, Dc, Dc), dtype=dt)
+            return s.at[0, :, :, c, c].set(src_cd[:, None])
+
+        X0, Y0, Z0 = init_stack(), init_stack(), init_stack()
         # nhi in per-axis-leading layouts for cheap plane reads
         nhi_x = nhi_box                                   # (B, i, j, k)
         nhi_y = jnp.transpose(nhi_box, (0, 2, 1, 3))      # (B, j, i, k)

@@ -61,12 +61,12 @@ def make_sharded_step(raytracer: Raytracer, mesh, chem: ChemistryParams):
     axes = ("src", "space")
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P(axes), P(axes), P(), P()),
+             in_specs=(P(), P(), P(), P(), P(), P(axes), P(axes), P(), P()),
              out_specs=(P(), P(), P(), P(), P(), P()),
              check_vma=False)
-    def step(ndens, temp, xh, xh_av, pos_b, flux_b, dt, dr):
+    def step(tb, ndens, temp, xh, xh_av, pos_b, flux_b, dt, dr):
         # --- raytrace local source shard, then allreduce Gamma over ICI
-        phi_local, _ = raytracer._trace_impl(ndens, xh_av, pos_b, flux_b, dr)
+        phi_local = raytracer.shard_trace(tb, ndens, xh_av, pos_b, flux_b, dr)
         phi_ion = jax.lax.psum(phi_local, axes)
 
         # --- chemistry shard-local over cells (no rank-0 serialization)
@@ -87,7 +87,9 @@ def make_sharded_step(raytracer: Raytracer, mesh, chem: ChemistryParams):
         sum0 = jax.lax.psum(s0_s, axes)
         return xi, xav, phi_ion, conv_flag, sum1, sum0
 
-    return jax.jit(step)
+    def step_with_tables(*args):
+        return jax.jit(step)(raytracer.tables, *args)
+    return step_with_tables
 
 
 def trace_sharded(raytracer: Raytracer, mesh, ndens, xh_av, src_pos,
@@ -101,13 +103,13 @@ def trace_sharded(raytracer: Raytracer, mesh, ndens, xh_av, src_pos,
     axes = ("src", "space")
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axes), P(axes), P()), out_specs=P(),
+             in_specs=(P(), P(), P(), P(axes), P(axes), P()), out_specs=P(),
              check_vma=False)
-    def f(nd_, xh_, pos, flux, dr_):
-        phi_local, _ = raytracer._trace_impl(nd_, xh_, pos, flux, dr_)
+    def f(tb, nd_, xh_, pos, flux, dr_):
+        phi_local = raytracer.shard_trace(tb, nd_, xh_, pos, flux, dr_)
         return jax.lax.psum(phi_local, axes)
 
-    phi = f(nd, xh, pos_b, flux_b, jnp.asarray(dr, cfg.dtype))
+    phi = f(raytracer.tables, nd, xh, pos_b, flux_b, jnp.asarray(dr, cfg.dtype))
     return phi.reshape((cfg.N,) * 3)
 
 
