@@ -32,12 +32,15 @@ def main():
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--engine", default="cheb", choices=["cheb", "flat"])
     parser.add_argument("-o", default="timings.pkl")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
     from pyc2ray_tpu.ops.raytrace import RaytraceConfig, Raytracer
+    from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer
+    from pyc2ray_tpu.ops.raytrace_box import grey_bins
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     if dtype == jnp.float64:
@@ -51,22 +54,31 @@ def main():
 
     results = {"N": N, "batch_size": args.batch, "nreps": args.reps,
                "ASORA": "pyc2ray-tpu", "timings": {}}
+    def sync(x):
+        # block_until_ready is unreliable on the axon TPU relay; force
+        # completion through a value dependency
+        return float(jnp.ravel(x)[0])
+
     for R in args.R:
-        cfg = RaytraceConfig(N=N, R_max_LLS=R, sig=6.30e-18,
-                             batch_size=args.batch, dtype=dtype,
-                             grey_analytic=True)
-        rt = Raytracer(cfg)
+        if args.engine == "cheb":
+            rt = ChebRaytracer(N, R, 6.30e-18, grey_bins(),
+                               batch_size=args.batch, dtype=dtype)
+        else:
+            cfg = RaytraceConfig(N=N, R_max_LLS=R, sig=6.30e-18,
+                                 batch_size=args.batch, dtype=dtype,
+                                 grey_analytic=True)
+            rt = Raytracer(cfg)
         for ns in args.numsrc:
             pos_b, flux_b = rt.prepare_sources(
                 rng.randint(0, N, size=(ns, 3)), np.ones(ns))
             # warmup/compile
-            phi, _ = rt._trace_jit(ndens, xh, pos_b, flux_b, dr)
-            phi.block_until_ready()
+            phi, _ = rt.trace_batches(ndens, xh, pos_b, flux_b, dr)
+            sync(phi)
             ts = []
             for _ in range(args.reps):
                 t0 = time.time()
-                phi, _ = rt._trace_jit(ndens, xh, pos_b, flux_b, dr)
-                phi.block_until_ready()
+                phi, _ = rt.trace_batches(ndens, xh, pos_b, flux_b, dr)
+                sync(phi)
                 ts.append(time.time() - t0)
             t = min(ts)
             norm = t / (ns * 4.0 / 3.0 * np.pi * R ** 3)
