@@ -18,7 +18,6 @@ Differences from the reference:
   c2ray_base.py:64-67).
 """
 
-import atexit
 import re
 
 import numpy as np

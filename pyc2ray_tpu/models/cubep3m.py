@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-from ..constants import msun2g, YEAR
+from ..constants import msun2g
 from ..io.cbin import save_cbin, read_cbin, DensityFile
 from ..utils.other_utils import (get_redshifts_from_output, find_bins,
                                  get_source_redshifts)

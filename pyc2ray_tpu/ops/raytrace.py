@@ -32,7 +32,7 @@ signature; grids stay on device across convergence iterations, removing
 the reference's per-iteration host<->device copies (evolve.py:193-201).
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax

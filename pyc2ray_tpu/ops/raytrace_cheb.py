@@ -25,7 +25,7 @@ from ..radiation.spectral_bins import SpectralBins
 from .geometry import max_q_for
 from .cheb_geometry import ChebGeometry, build_cheb_geometry
 from .raytrace import RaytraceConfig
-from .raytrace_box import grey_bins
+
 
 __all__ = ["ChebRaytracer", "ChebTables"]
 

@@ -12,7 +12,7 @@ import re
 import numpy as np
 import yaml
 
-from ..constants import Mpc, YEAR, ev2fr, ev2k
+from ..constants import Mpc, ev2fr, ev2k
 from ..cosmology import FlatLambdaCDM
 
 try:
