@@ -34,6 +34,7 @@ FOURPI = 12.566370614359172463991853874177
 
 class ChebTables(NamedTuple):
     sw: object          # (3, 4, R1, Dc, Dc)
+    geom_packed: object # (3, R1, 8, Dc, Dc) packed for the Pallas kernel
     path: object        # (3, R1, Dc, Dc)
     diag: object        # (3, R1, Dc, Dc)
     mask_p: object      # (3, R1, Dc, Dc) bool
@@ -53,13 +54,18 @@ class ChebRaytracer:
     (same trace() contract)."""
 
     def __init__(self, N, R_max_LLS, sig, bins: SpectralBins,
-                 batch_size=8, dtype=jnp.float32, do_heating=False):
+                 batch_size=8, dtype=jnp.float32, do_heating=False,
+                 use_pallas=False):
         self.N = int(N)
         self.R_max_LLS = float(R_max_LLS)
         self.sig = float(sig)
         self.batch_size = int(batch_size)
         self.dtype = dtype
         self.do_heating = bool(do_heating)
+        self.use_pallas = bool(use_pallas)
+        # Mosaic kernels need real TPU hardware; fall back to the Pallas
+        # interpreter elsewhere (tests on CPU)
+        self._pallas_interpret = jax.default_backend() != "tpu"
         # config shim so evolve3D and the models treat engines uniformly
         self.config = RaytraceConfig(
             N=self.N, R_max_LLS=self.R_max_LLS, sig=self.sig,
@@ -70,7 +76,10 @@ class ChebRaytracer:
         g = self.geom
         dt = dtype
         self.num_bins = bins.num_bins
+        from .pallas_sweep import pack_geometry
+        np_dt = np.float32 if dt == jnp.float32 else np.float64
         self.tables = ChebTables(
+            geom_packed=jnp.asarray(pack_geometry(g, np_dt)),
             sw=jnp.asarray(g.sw, dt),
             path=jnp.asarray(g.path, dt),
             diag=jnp.asarray(g.diag, dt),
@@ -114,6 +123,56 @@ class ChebRaytracer:
         return phi.reshape(-1)
 
     # ------------------------------------------------------------------
+    def _fold_stacks(self, X, Y, Z, src_cd):
+        """Fold the three (R1, B, 2, Dc, Dc) face stacks into the
+        cartesian cd box (B, Dc, Dc, Dc)."""
+        g = self.geom
+        dt = self.dtype
+        B = src_cd.shape[0]
+        c = g.c
+        Dc = g.Dc
+        R1 = g.r_max + 1
+        z32 = jnp.zeros((), jnp.int32)
+
+        def fold(stack):
+            box = jnp.zeros((B, Dc, Dc, Dc), dtype=dt)
+
+            def fbody(r, box):
+                ri = r.astype(jnp.int32)
+                Sr = lax.dynamic_slice(stack, (ri, z32, z32, z32, z32),
+                                       (1, B, 2, Dc, Dc))[0]
+
+                def rmw(box, plane, idx, ok):
+                    cur = lax.dynamic_slice(box, (z32, idx, z32, z32),
+                                            (B, 1, Dc, Dc))
+                    new = jnp.where(ok, plane[:, None], cur)
+                    return lax.dynamic_update_slice(box, new,
+                                                    (z32, idx, z32, z32))
+                box = rmw(box, Sr[:, 0], c - ri, (c - ri) >= 0)
+                box = rmw(box, Sr[:, 1], c + ri, (c + ri) <= Dc - 1)
+                return box
+
+            return lax.fori_loop(1, R1, fbody, box)
+
+        cd = fold(X)                                      # (B, i, j, k)
+        cd = cd + jnp.transpose(fold(Y), (0, 2, 1, 3))    # (B, j, i, k) -> T
+        cd = cd + jnp.transpose(fold(Z), (0, 2, 3, 1))    # (B, k, i, j) -> T
+        return cd.at[:, c, c, c].set(src_cd)
+
+    def _sweep_pallas(self, tb, nhi_box, dr):
+        """Sweep via the monolithic Pallas kernel (pallas_sweep.py)."""
+        from .pallas_sweep import cheb_sweep_pallas
+        g = self.geom
+        B = nhi_box.shape[0]
+        nx = jnp.transpose(nhi_box, (1, 0, 2, 3))
+        ny = jnp.transpose(nhi_box, (2, 0, 1, 3))
+        nz = jnp.transpose(nhi_box, (3, 0, 1, 2))
+        X, Y, Z = cheb_sweep_pallas(
+            tb.geom_packed, nx, ny, nz, dr, B=B, Dc=g.Dc, R1=g.r_max + 1,
+            c=g.c, sig=self.sig, interpret=self._pallas_interpret)
+        src_cd = nhi_box[:, g.c, g.c, g.c] * (0.5 * dr)
+        return self._fold_stacks(X, Y, Z, src_cd)
+
     def _sweep(self, tb, nhi_box, dr):
         """Cube-shell sweep; returns cd (B, Dc, Dc, Dc) coldensh_out.
 
@@ -326,33 +385,7 @@ class ChebRaytracer:
             return X, Y, Z
 
         X, Y, Z = lax.fori_loop(1, R1, body, (X0, Y0, Z0))
-
-        # ---- fold the stacks back into the cartesian box
-        def fold(stack):
-            """(R1, B, 2, Dc, Dc) -> (B, Dc(axis), Dc_a, Dc_b)."""
-            box = jnp.zeros((B, Dc, Dc, Dc), dtype=dt)
-
-            def fbody(r, box):
-                ri = r.astype(jnp.int32)
-                Sr = stack_at(stack, ri)
-
-                def rmw(box, plane, idx, ok):
-                    cur = lax.dynamic_slice(box, (z32, idx, z32, z32),
-                                            (B, 1, Dc, Dc))
-                    new = jnp.where(ok, plane[:, None], cur)
-                    return lax.dynamic_update_slice(box, new,
-                                                    (z32, idx, z32, z32))
-                box = rmw(box, Sr[:, 0], c - ri, (c - ri) >= 0)
-                box = rmw(box, Sr[:, 1], c + ri, (c + ri) <= Dc - 1)
-                return box
-
-            return lax.fori_loop(1, R1, fbody, box)
-
-        cd = fold(X)                                      # (B, i, j, k)
-        cd = cd + jnp.transpose(fold(Y), (0, 2, 1, 3))    # (B, j, i, k) -> T
-        cd = cd + jnp.transpose(fold(Z), (0, 2, 3, 1))    # (B, k, i, j) -> T
-        cd = cd.at[:, c, c, c].set(src_cd)                # source cell
-        return cd
+        return self._fold_stacks(X, Y, Z, src_cd)
 
     # ------------------------------------------------------------------
     def _rates(self, tb, cd, nhi_box, flux, dr):
@@ -447,7 +480,10 @@ class ChebRaytracer:
             phi_pad, heat_pad = carry
             pos, flux = xs
             boxes = self._extract_boxes(nhi_pad, pos)
-            cd = self._sweep(tb, boxes, dr)
+            if self.use_pallas:
+                cd = self._sweep_pallas(tb, boxes, dr)
+            else:
+                cd = self._sweep(tb, boxes, dr)
             phi_box, heat_box = self._rates(tb, cd, boxes, flux, dr)
 
             def accum(pad, boxes_v):

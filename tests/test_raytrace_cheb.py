@@ -99,3 +99,20 @@ def test_cheb_f32():
     rel = np.abs(phi32 - phi64) / np.maximum(np.abs(phi64), 1e-30)
     assert np.median(rel) < 1e-4
     assert np.percentile(rel, 99) < 1e-2
+
+
+def test_cheb_pallas_sweep_matches():
+    """The Pallas sweep kernel (interpret mode on CPU) must reproduce the
+    XLA sweep bitwise through the full trace."""
+    N = 10
+    rng = np.random.RandomState(3)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.9, (N, N, N))
+    src = np.array([[0, 9, 5], [4, 4, 4]])
+    flux = np.array([1.0, 2.0])
+    rt_x = _mk(N, R=1e9, batch=2, dtype=jnp.float32)
+    rt_p = ChebRaytracer(N, 1e9, SIG, grey_bins(), batch_size=2,
+                         dtype=jnp.float32, use_pallas=True)
+    phi_x = np.asarray(rt_x.trace(ndens, xh, src, flux, DR))
+    phi_p = np.asarray(rt_p.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_array_equal(phi_p, phi_x)
