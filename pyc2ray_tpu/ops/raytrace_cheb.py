@@ -167,10 +167,17 @@ class ChebRaytracer:
         nx = jnp.transpose(nhi_box, (1, 0, 2, 3))
         ny = jnp.transpose(nhi_box, (2, 0, 1, 3))
         nz = jnp.transpose(nhi_box, (3, 0, 1, 2))
-        X, Y, Z = cheb_sweep_pallas(
-            tb.geom_packed, nx, ny, nz, dr, B=B, Dc=g.Dc, R1=g.r_max + 1,
-            c=g.c, sig=self.sig, interpret=self._pallas_interpret)
         src_cd = nhi_box[:, g.c, g.c, g.c] * (0.5 * dr)
+        ar = lax.broadcasted_iota(jnp.int32, (g.Dc, g.Dc), 0)
+        br = lax.broadcasted_iota(jnp.int32, (g.Dc, g.Dc), 1)
+        center = ((ar == g.c) & (br == g.c))[None, None]
+        init_plane = jnp.broadcast_to(
+            jnp.where(center, src_cd[:, None, None, None], 0.0),
+            (B, 2, g.Dc, g.Dc)).astype(self.dtype)
+        X, Y, Z = cheb_sweep_pallas(
+            tb.geom_packed, nx, ny, nz, dr, init_plane,
+            B=B, Dc=g.Dc, R1=g.r_max + 1,
+            c=g.c, sig=self.sig, interpret=self._pallas_interpret)
         return self._fold_stacks(X, Y, Z, src_cd)
 
     def _sweep(self, tb, nhi_box, dr):
