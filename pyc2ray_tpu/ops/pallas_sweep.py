@@ -205,6 +205,8 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
             pltpu.VMEM((B, 2, Dc, Dc), dt),
             pltpu.VMEM((B, 2, Dc, Dc), dt),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dr2d, init_plane, geom[0], geom[1], geom[2],
       nhi_x, nhi_x, nhi_y, nhi_y, nhi_z, nhi_z)
