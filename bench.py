@@ -6,8 +6,9 @@ Ns sources at random positions, octahedron radius R, timing normalized as
 t / (Ns * 4/3 pi R^3) seconds per cell-update per source — the quantity
 the ASORA paper's Figure 8 reports in ns/cell on a P100.
 
-Engine: the Chebyshev-face sweep (ops/raytrace_cheb.py) with black-body
-spectral-bin rates, float32, plus the on-device chemistry pass.
+Engine: the Chebyshev-face sweep as a monolithic Pallas kernel
+(ops/pallas_sweep.py) with black-body spectral-bin rates, float32, plus
+the on-device chemistry pass.
 
 Timing note: on this TPU stack ``block_until_ready`` does not reliably
 block, so every measurement is closed by fetching a scalar from the
@@ -44,14 +45,15 @@ def main():
     N = 256
     R = 30.0
     NS = 512
-    BATCH = 32
+    BATCH = 16
     NREPS = 3
     dtype = jnp.float32
 
     fmin, fmax = ev2fr * 13.598, 10 * ev2fr * 54.416
     bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
                               fmin, fmax, panels=8, nodes=8)
-    rt = ChebRaytracer(N, R, 6.30e-18, bins, batch_size=BATCH, dtype=dtype)
+    rt = ChebRaytracer(N, R, 6.30e-18, bins, batch_size=BATCH, dtype=dtype,
+                       use_pallas=True)
     chem = ChemistryParams(bh00=2.59e-13, albpow=-0.7,
                            colh0=1.3e-8 * 0.83 / (13.598 ** 2),
                            temph0=13.598 / 8.617e-05, abu_c=7.1e-7)
@@ -101,7 +103,7 @@ def main():
 
     detail = {
         "N": N, "R": R, "num_src": NS, "batch": BATCH, "dtype": "float32",
-        "engine": "chebyshev-face sweep + spectral bins (64)",
+        "engine": "pallas chebyshev-face sweep + spectral bins (64)",
         "t_raytrace_s": round(t_ray, 4), "t_chemistry_s": round(t_chem, 4),
         "compile_s": round(compile_s, 1),
         "ns_per_cell_update_raytrace": round(ns_per_cell_ray, 3),

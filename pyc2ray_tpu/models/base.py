@@ -254,7 +254,7 @@ class C2RaySimulation:
             import jax
             jax.config.update("jax_enable_x64", True)
         engine = str(ld["Raytracing"].get("engine", "flat"))
-        if engine == "cheb":
+        if engine in ("cheb", "pallas"):
             # production fast path: Chebyshev-face sweep + spectral bins
             from ..ops.raytrace_cheb import ChebRaytracer
             from ..radiation.spectral_bins import make_spectral_bins
@@ -266,7 +266,8 @@ class C2RaySimulation:
             self.raytracer = ChebRaytracer(
                 self.N, float(self.R_max_LLS), float(self.sig), bins,
                 batch_size=batch, dtype=dtype,
-                do_heating=self.compute_heating_rates)
+                do_heating=self.compute_heating_rates,
+                use_pallas=(engine == "pallas"))
             self.printlog(
                 f"Using TPU Chebyshev-face raytracing (r_max = "
                 f"{self.raytracer.geom.r_max:n}, {bins.num_bins} spectral "
