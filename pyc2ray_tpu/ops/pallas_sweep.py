@@ -33,14 +33,24 @@ __all__ = ["cheb_sweep_pallas", "pack_geometry"]
 
 
 def pack_geometry(g, dtype=np.float32):
-    """ChebGeometry -> packed geom[3, R1, 8, Dc, Dc] array."""
+    """ChebGeometry -> packed geom[3, R1, 9, Dc, Dc] array.
+
+    Channels: s1..s4, path, diag, mask_minus, mask_plus, dist2. The dist2
+    channel is assembled per face from the 3D table (face f shell r plane
+    at +-r; mirror-symmetric, so one sign suffices)."""
     R1 = g.r_max + 1
-    out = np.zeros((3, R1, 8, g.Dc, g.Dc), dtype=dtype)
+    Dc, c = g.Dc, g.c
+    out = np.zeros((3, R1, 9, g.Dc, g.Dc), dtype=dtype)
     out[:, :, 0:4] = np.transpose(g.sw, (0, 2, 1, 3, 4))
     out[:, :, 4] = g.path
     out[:, :, 5] = g.diag
     out[:, :, 6] = g.mask_m
     out[:, :, 7] = g.mask_p
+    for r in range(R1):
+        ihi = min(c + r, Dc - 1)
+        out[0, r, 8] = g.dist2[ihi, :, :]
+        out[1, r, 8] = g.dist2[:, ihi, :]
+        out[2, r, 8] = g.dist2[:, :, ihi]
     return out
 
 
@@ -49,7 +59,7 @@ def _kernel(dr_ref, init_ref,
             nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
             xs_ref, ys_ref, zs_ref,
             Xp, Yp, Zp,
-            *, B, Dc, c, sig):
+            *, B, Dc, c, sig, bins, R2):
     f32 = Xp.dtype
     r = pl.program_id(0)
     dr = dr_ref[0, 0]
@@ -113,10 +123,30 @@ def _kernel(dr_ref, init_ref,
             cdin = gb[5][None, None] \
                 * (Pab * w1 + Pb * w2 + Pa * w3 + P * w4) \
                 / (w1 + w2 + w3 + w4)
-            cdout = cdin + nhi * (gb[4][None, None] * dr)
+            dcol = nhi * (gb[4][None, None] * dr)
+            cdout = cdin + dcol
             mask = jnp.stack([gb[6], gb[7]])[None] > 0.5
             new = jnp.where(mask, cdout, 0.0)
-            out_ref[...] = new[None]
+            if bins is None:
+                out_ref[...] = new[None]
+                return new
+            # fused spectral-bin rate pass: Gamma (without the per-source
+            # flux factor, applied outside) = S*/(dr^3 4 pi d^2 path nHI)
+            # * sum_e w_e exp(-tau_in s_e) (-expm1(-dtau s_e))
+            tau_in = cdin * sig
+            dtau = dcol * sig
+            acc = jnp.zeros_like(cdin)
+            for s_e, w_e in bins:
+                acc = acc + w_e * (jnp.exp(-tau_in * s_e)
+                                   * -jnp.expm1(-dtau * s_e))
+            s_over_dr3 = jnp.exp(
+                jnp.asarray(110.52408446371419, f32) - 3.0 * jnp.log(dr))
+            d2 = gb[8][None, None]
+            pref = s_over_dr3 / (d2 * gb[4][None, None]
+                                 * 12.566370614359172)
+            rmask = mask & (d2 <= R2) & (cdin <= 2.0e30)
+            phi = jnp.where(rmask, pref * acc / nhi, 0.0)
+            out_ref[...] = phi[None]
             return new
 
         # ---- x faces
@@ -161,17 +191,23 @@ def _kernel(dr_ref, init_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("B", "Dc", "R1", "c", "sig", "interpret"))
+                   static_argnames=("B", "Dc", "R1", "c", "sig", "bins",
+                                    "R2", "interpret"))
 def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
-                      B, Dc, R1, c, sig, interpret=False):
+                      B, Dc, R1, c, sig, bins=None, R2=0.0,
+                      interpret=False):
     """Run the sweep kernel over a sequential shell grid.
 
     geom: (3, R1, 8, Dc, Dc); nhi_{x,y,z}: (Dc, B, Dc, Dc) face-leading;
     init_plane: (B, 2, Dc, Dc) sheet with the source cell set.
+    With bins=None returns column-density stacks; with bins a static
+    tuple of (s_e, w_e) pairs, the rate pass is fused and the outputs are
+    flux-less Gamma stacks (multiply by the per-source flux outside).
     Returns (X, Y, Z) stacks of shape (R1, B, 2, Dc, Dc).
     """
     dt = nhi_x.dtype
-    kern = functools.partial(_kernel, B=B, Dc=Dc, c=c, sig=float(sig))
+    kern = functools.partial(_kernel, B=B, Dc=Dc, c=c, sig=float(sig),
+                             bins=bins, R2=float(R2))
     dr2d = jnp.asarray(dr, dt).reshape(1, 1)
 
     nspec_lo = pl.BlockSpec((1, B, Dc, Dc),
@@ -180,7 +216,7 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
     nspec_hi = pl.BlockSpec((1, B, Dc, Dc),
                             lambda r: (jnp.minimum(c + r, Dc - 1), 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    g4 = pl.BlockSpec((1, 8, Dc, Dc), lambda r: (r, 0, 0, 0),
+    g4 = pl.BlockSpec((1, 9, Dc, Dc), lambda r: (r, 0, 0, 0),
                       memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, B, 2, Dc, Dc), lambda r: (r, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)

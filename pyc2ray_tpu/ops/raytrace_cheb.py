@@ -76,6 +76,9 @@ class ChebRaytracer:
         g = self.geom
         dt = dtype
         self.num_bins = bins.num_bins
+        # static (s, w) pairs for the fused-rates Pallas kernel
+        self._bins_static = tuple(
+            (float(s), float(w)) for s, w in zip(bins.s, bins.w_photo))
         from .pallas_sweep import pack_geometry
         np_dt = np.float32 if dt == jnp.float32 else np.float64
         self.tables = ChebTables(
@@ -159,8 +162,13 @@ class ChebRaytracer:
         cd = cd + jnp.transpose(fold(Z), (0, 2, 3, 1))    # (B, k, i, j) -> T
         return cd.at[:, c, c, c].set(src_cd)
 
-    def _sweep_pallas(self, tb, nhi_box, dr):
-        """Sweep via the monolithic Pallas kernel (pallas_sweep.py)."""
+    def _sweep_pallas(self, tb, nhi_box, dr, fuse_rates=False):
+        """Sweep via the monolithic Pallas kernel (pallas_sweep.py).
+
+        With fuse_rates the kernel also evaluates the spectral-bin rate
+        pass per shell and the returned box holds flux-less Gamma (the
+        per-source flux factor and the source-cell rate are applied by
+        the caller); otherwise it holds coldensh_out."""
         from .pallas_sweep import cheb_sweep_pallas
         g = self.geom
         B = nhi_box.shape[0]
@@ -176,9 +184,26 @@ class ChebRaytracer:
             (B, 2, g.Dc, g.Dc)).astype(self.dtype)
         X, Y, Z = cheb_sweep_pallas(
             tb.geom_packed, nx, ny, nz, dr, init_plane,
-            B=B, Dc=g.Dc, R1=g.r_max + 1,
-            c=g.c, sig=self.sig, interpret=self._pallas_interpret)
-        return self._fold_stacks(X, Y, Z, src_cd)
+            B=B, Dc=g.Dc, R1=g.r_max + 1, c=g.c, sig=self.sig,
+            bins=self._bins_static if fuse_rates else None,
+            R2=self.R_max_LLS ** 2,
+            interpret=self._pallas_interpret)
+        center_val = jnp.zeros_like(src_cd) if fuse_rates else src_cd
+        return self._fold_stacks(X, Y, Z, center_val)
+
+    def _source_cell_rate(self, nhi_box, flux, dr):
+        """Gamma of the source cell itself (tau_in = 0, vol = dr^3;
+        raytracing.cu:285-294)."""
+        g = self.geom
+        dt = self.dtype
+        nhi_src = nhi_box[:, g.c, g.c, g.c]
+        dtau = nhi_src * (0.5 * dr) * jnp.asarray(self.sig, dt)
+        acc = jnp.zeros_like(dtau)
+        for s_e, w_e in self._bins_static:
+            acc = acc + w_e * -jnp.expm1(-dtau * s_e)
+        s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
+                             - 3.0 * jnp.log(dr))
+        return flux * s_over_dr3 * acc / nhi_src
 
     def _sweep(self, tb, nhi_box, dr):
         """Cube-shell sweep; returns cd (B, Dc, Dc, Dc) coldensh_out.
@@ -487,11 +512,15 @@ class ChebRaytracer:
             phi_pad, heat_pad = carry
             pos, flux = xs
             boxes = self._extract_boxes(nhi_pad, pos)
-            if self.use_pallas:
-                cd = self._sweep_pallas(tb, boxes, dr)
+            if self.use_pallas and not self.do_heating:
+                gamma_nf = self._sweep_pallas(tb, boxes, dr, fuse_rates=True)
+                phi_box = gamma_nf * flux[:, None, None, None]
+                src_phi = self._source_cell_rate(boxes, flux, dr)
+                phi_box = phi_box.at[:, g.c, g.c, g.c].set(src_phi)
+                heat_box = None
             else:
                 cd = self._sweep(tb, boxes, dr)
-            phi_box, heat_box = self._rates(tb, cd, boxes, flux, dr)
+                phi_box, heat_box = self._rates(tb, cd, boxes, flux, dr)
 
             def accum(pad, boxes_v):
                 def one(p_acc, xs2):

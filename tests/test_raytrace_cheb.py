@@ -102,8 +102,10 @@ def test_cheb_f32():
 
 
 def test_cheb_pallas_sweep_matches():
-    """The Pallas sweep kernel (interpret mode on CPU) must reproduce the
-    XLA sweep bitwise through the full trace."""
+    """The Pallas kernel (interpret mode on CPU) must reproduce the XLA
+    engine through the full trace. The kernel fuses the rate pass, which
+    reorders float ops vs the separate XLA rates, so agreement is to f32
+    rounding (the un-fused kernel matched bitwise)."""
     N = 10
     rng = np.random.RandomState(3)
     ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
@@ -115,4 +117,4 @@ def test_cheb_pallas_sweep_matches():
                          dtype=jnp.float32, use_pallas=True)
     phi_x = np.asarray(rt_x.trace(ndens, xh, src, flux, DR))
     phi_p = np.asarray(rt_p.trace(ndens, xh, src, flux, DR))
-    np.testing.assert_array_equal(phi_p, phi_x)
+    np.testing.assert_allclose(phi_p, phi_x, rtol=2e-5, atol=0)
