@@ -135,10 +135,19 @@ def _kernel(dr_ref, init_ref,
             # * sum_e w_e exp(-tau_in s_e) (-expm1(-dtau s_e))
             tau_in = cdin * sig
             dtau = dcol * sig
+
+            def nexpm1(x):
+                # -(expm1(-x)) for x >= 0; Mosaic has no expm1 primitive.
+                # Taylor for x < 0.1 (rel err < 2e-8), else 1 - exp(-x)
+                # (cancellation-free there since exp(-x) <= 0.905).
+                small = x * (1.0 - x * (0.5 - x * (
+                    (1.0 / 6.0) - x * ((1.0 / 24.0) - x / 120.0))))
+                return jnp.where(x < 0.1, small, 1.0 - jnp.exp(-x))
+
             acc = jnp.zeros_like(cdin)
             for s_e, w_e in bins:
                 acc = acc + w_e * (jnp.exp(-tau_in * s_e)
-                                   * -jnp.expm1(-dtau * s_e))
+                                   * nexpm1(dtau * s_e))
             s_over_dr3 = jnp.exp(
                 jnp.asarray(110.52408446371419, f32) - 3.0 * jnp.log(dr))
             d2 = gb[8][None, None]
