@@ -115,8 +115,8 @@ class C2Ray_CubeP3M(C2RaySimulation):
             self.zred_0 = np.min(
                 get_redshifts_from_output(self.results_basename))
             self.age_0 = self.zred2time(self.zred_0)
-            self.prev_zdens = find_bins(self.zred_0, self.zred_density)
-            self.prev_zsourc = find_bins(self.zred_0, self.zred_sources)
+            _, self.prev_zdens = find_bins(self.zred_0, self.zred_density)
+            _, self.prev_zsourc = find_bins(self.zred_0, self.zred_sources)
         else:
             self.prev_zdens = -1
             self.prev_zsourc = -1

@@ -154,7 +154,8 @@ class C2Ray_244Test(C2RaySimulation):
             self.age_0 = (2.0 * (1.0 + self.zred_0) ** (-1.5)
                           / (3.0 * H0_s * np.sqrt(self.cosmology.Om0)))
             if len(self.zred_density):
-                self.prev_zdens = find_bins(self.zred_0, self.zred_density)
+                _, self.prev_zdens = find_bins(self.zred_0,
+                                               self.zred_density)
             else:
                 self.prev_zdens = -1
         else:

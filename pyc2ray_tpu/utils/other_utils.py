@@ -25,9 +25,23 @@ def get_redshifts_from_output(output_dir, prefix="xfrac"):
     return np.sort(np.array(zs))[::-1]
 
 
-def find_bins(values, bin_edges):
-    """Map values into bins via np.digitize (other_utils.py:17-63)."""
-    return np.digitize(values, bin_edges)
+def find_bins(value, binning_array):
+    """Bracketing bin VALUES (low, high) around ``value``
+    (other_utils.py:17-63): returns the sorted-array neighbors, with None
+    beyond the ends. Scalar input -> scalar pair; array input -> arrays."""
+    sorted_bins = np.sort(np.asarray(binning_array))
+
+    def one(v):
+        i = int(np.digitize(v, sorted_bins))
+        lo = sorted_bins[i - 1] if i > 0 else None
+        hi = sorted_bins[i] if i < len(sorted_bins) else None
+        return lo, hi
+
+    if isinstance(value, (np.ndarray, list)):
+        pairs = [one(v) for v in value]
+        return (np.array([p[0] for p in pairs]),
+                np.array([p[1] for p in pairs]))
+    return one(value)
 
 
 def get_source_redshifts(source_dir, pattern="*-coarsest_wsubgrid_sources.dat"):

@@ -72,3 +72,47 @@ def test_engines_agree_through_model(tmp_path):
     # quadrature error). ~1e-3-level agreement is the expected envelope.
     assert rel.max() < 1e-2
     assert np.median(rel) < 3e-3
+
+
+def test_cubep3m_resume(tmp_path):
+    """CubeP3M model: run one slice, then resume from outputs
+    (c2ray_cubep3m.py:150-181 mechanics)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "eor_simulation"))
+    from run_test import make_synthetic_inputs
+
+    N = 12
+    inputs = str(tmp_path / "inputs") + "/"
+    results = str(tmp_path / "results") + "/"
+    os.makedirs(results)
+    zlist = [21.062, 20.134]
+    make_synthetic_inputs(N, inputs, zlist)
+
+    base = open(os.path.join(os.path.dirname(__file__), "..", "examples",
+                             "eor_simulation", "parameters.yml")).read()
+    base = base.replace("results_basename: ./results/",
+                        f"results_basename: {results}")
+    base = base.replace("inputs_basename: ./inputs/",
+                        f"inputs_basename: {inputs}")
+    base = base.replace("NumTau: 2000", "NumTau: 200")
+    base = base.replace("dtype: float32", "dtype: float64")
+    pfile = str(tmp_path / "p.yml")
+    open(pfile, "w").write(base)
+
+    sim = pc2r.C2Ray_CubeP3M(pfile, N)
+    sim.read_density(zlist[0])
+    srcpos, flux = sim.read_sources(os.path.join(
+        inputs, "sources", f"{zlist[0]:.3f}-sources.hdf5"))
+    dt = sim.set_timestep(zlist[0], zlist[1], 1)
+    sim.cosmo_evolve(dt)
+    sim.evolve3D(dt, flux[:4], srcpos[:, :4])
+    sim.write_output(zlist[1])
+    xh_saved = sim.xh.copy()
+
+    base2 = base.replace("resume: 0", "resume: 1")
+    pfile2 = str(tmp_path / "p2.yml")
+    open(pfile2, "w").write(base2)
+    sim2 = pc2r.C2Ray_CubeP3M(pfile2, N)
+    assert abs(sim2.zred_0 - zlist[1]) < 1e-3
+    np.testing.assert_allclose(sim2.xh, xh_saved, rtol=1e-12)
