@@ -55,7 +55,7 @@ class ChebRaytracer:
 
     def __init__(self, N, R_max_LLS, sig, bins: SpectralBins,
                  batch_size=8, dtype=jnp.float32, do_heating=False,
-                 use_pallas=False):
+                 use_pallas=False, fuse_rates=False):
         self.N = int(N)
         self.R_max_LLS = float(R_max_LLS)
         self.sig = float(sig)
@@ -63,6 +63,10 @@ class ChebRaytracer:
         self.dtype = dtype
         self.do_heating = bool(do_heating)
         self.use_pallas = bool(use_pallas)
+        # Fusing the rate pass into the kernel is supported but measured
+        # SLOWER at 64 bins (the unrolled in-kernel exp chains cost more
+        # than the separate dense XLA rates pass); default off.
+        self.fuse_rates = bool(fuse_rates)
         # Mosaic kernels need real TPU hardware; fall back to the Pallas
         # interpreter elsewhere (tests on CPU)
         self._pallas_interpret = jax.default_backend() != "tpu"
@@ -512,12 +516,15 @@ class ChebRaytracer:
             phi_pad, heat_pad = carry
             pos, flux = xs
             boxes = self._extract_boxes(nhi_pad, pos)
-            if self.use_pallas and not self.do_heating:
+            if self.use_pallas and self.fuse_rates and not self.do_heating:
                 gamma_nf = self._sweep_pallas(tb, boxes, dr, fuse_rates=True)
                 phi_box = gamma_nf * flux[:, None, None, None]
                 src_phi = self._source_cell_rate(boxes, flux, dr)
                 phi_box = phi_box.at[:, g.c, g.c, g.c].set(src_phi)
                 heat_box = None
+            elif self.use_pallas:
+                cd = self._sweep_pallas(tb, boxes, dr)
+                phi_box, heat_box = self._rates(tb, cd, boxes, flux, dr)
             else:
                 cd = self._sweep(tb, boxes, dr)
                 phi_box, heat_box = self._rates(tb, cd, boxes, flux, dr)
