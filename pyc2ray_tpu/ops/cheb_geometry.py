@@ -59,11 +59,22 @@ class ChebGeometry(NamedTuple):
 
 
 @lru_cache(maxsize=8)
-def build_cheb_geometry(N: int, max_q: int) -> ChebGeometry:
+def build_cheb_geometry(N: int, max_q: int, r_cube: int = None) -> ChebGeometry:
+    """Build the cube-shell traversal tables.
+
+    ``max_q`` is the L1 octahedron bound (reference semantics,
+    raytracing.cu:101: sized so the Euclidean rate sphere R fits inside).
+    ``r_cube`` is the Chebyshev (L(inf)) half-extent of the swept box. In
+    the cube-shell formulation every cell that can receive a rate
+    (Euclidean dist <= R) has L(inf) <= R, and every stencil parent has
+    strictly smaller L(inf), so r_cube = ceil(R) suffices — ~(sqrt3)^3 x
+    less box volume than the octahedral bound. Defaults to max_q (the
+    conservative original behavior)."""
     last_r = N // 2 - 1 + (N % 2)
     last_l = -(N // 2)
-    lo = max(last_l, -max_q)
-    hi = min(last_r, max_q)
+    rc = max_q if r_cube is None else int(r_cube)
+    lo = max(last_l, -rc)
+    hi = min(last_r, rc)
     c = -lo
     # round the box side up to a multiple of 8 (TPU sublane alignment),
     # unless that would make the wrap padding exceed the mesh size

@@ -75,8 +75,12 @@ class ChebRaytracer:
             N=self.N, R_max_LLS=self.R_max_LLS, sig=self.sig,
             batch_size=self.batch_size, dtype=dtype,
             grey_analytic=(bins.num_bins == 1), do_heating=do_heating)
+        # Box half-extent: ceil(R) in Chebyshev metric (every rated cell
+        # and all its stencil parents live inside); the L1 octahedron
+        # membership bound stays at the reference's sqrt(3)R.
+        r_cube = int(np.ceil(min(float(R_max_LLS), float(N))))
         self.geom: ChebGeometry = build_cheb_geometry(
-            self.N, max_q_for(R_max_LLS, N))
+            self.N, max_q_for(R_max_LLS, N), r_cube=r_cube)
         g = self.geom
         dt = dtype
         self.num_bins = bins.num_bins
