@@ -506,19 +506,32 @@ class ChebRaytracer:
             out = core
         return out
 
-    def _trace_impl(self, tb, ndens3, xh3, pos_b, flux_b, dr):
+    def trace_extended(self, tb, nhi_ext, pos_b, flux_b, dr):
+        """Core batched sweep over an EXTENDED field.
+
+        ``nhi_ext`` is the local HI density extended by ``geom.c`` cells
+        low / ``geom.Dc-1-geom.c`` cells high along every axis (via wrap
+        padding on one device, or halo exchange under domain
+        decomposition — parallel/domain.py). ``pos_b`` holds box-start
+        positions in extended coordinates, which coincide with unpadded
+        local cell coordinates. Returns (phi_ext, heat_ext) with Gamma
+        accumulated into the same extended frame; the caller folds the
+        halos back (``_fold_padding`` / ``halo_reduce``)."""
         g = self.geom
-        padL = g.c
-        padR = g.Dc - 1 - g.c
-        nhi3 = ndens3 * (1.0 - xh3)
-        nhi_pad = jnp.pad(nhi3, ((padL, padR),) * 3, mode="wrap")
+        nhi_pad = nhi_ext
         phi_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype)
         heat_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype) \
             if self.do_heating else jnp.zeros((1,), dtype=self.dtype)
 
-        def batch_step(carry, xs):
+        def batch_step(b, carry):
             phi_pad, heat_pad = carry
-            pos, flux = xs
+            z32 = jnp.zeros((), jnp.int32)
+            pos = lax.dynamic_slice(
+                pos_b, (b.astype(jnp.int32), z32, z32),
+                (1,) + pos_b.shape[1:])[0]
+            flux = lax.dynamic_slice(
+                flux_b, (b.astype(jnp.int32), z32),
+                (1,) + flux_b.shape[1:])[0]
             boxes = self._extract_boxes(nhi_pad, pos)
             if self.use_pallas and self.fuse_rates and not self.do_heating:
                 gamma_nf = self._sweep_pallas(tb, boxes, dr, fuse_rates=True)
@@ -546,10 +559,20 @@ class ChebRaytracer:
             phi_pad = accum(phi_pad, phi_box)
             if self.do_heating:
                 heat_pad = accum(heat_pad, heat_box)
-            return (phi_pad, heat_pad), None
+            return (phi_pad, heat_pad)
 
-        (phi_pad, heat_pad), _ = lax.scan(
-            batch_step, (phi_pad0, heat_pad0), (pos_b, flux_b))
+        phi_pad, heat_pad = lax.fori_loop(
+            0, pos_b.shape[0], batch_step, (phi_pad0, heat_pad0))
+        return phi_pad, (heat_pad if self.do_heating else None)
+
+    def _trace_impl(self, tb, ndens3, xh3, pos_b, flux_b, dr):
+        g = self.geom
+        padL = g.c
+        padR = g.Dc - 1 - g.c
+        nhi3 = ndens3 * (1.0 - xh3)
+        nhi_pad = jnp.pad(nhi3, ((padL, padR),) * 3, mode="wrap")
+        phi_pad, heat_pad = self.trace_extended(tb, nhi_pad, pos_b,
+                                                flux_b, dr)
         phi3 = self._fold_padding(phi_pad)
         heat3 = self._fold_padding(heat_pad) if self.do_heating else None
         return phi3, heat3

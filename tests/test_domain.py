@@ -1,0 +1,161 @@
+"""Domain-decomposition tests on the virtual 8-CPU mesh.
+
+The halo-exchanged, grid-sharded trace must reproduce the single-device
+engine exactly (same f64 ops in a different execution order only at the
+accumulation seams, which is addition — associativity holds per cell
+since every cell's Gamma is accumulated in the same source order)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from functools import partial
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer
+from pyc2ray_tpu.ops.raytrace_box import grey_bins
+from pyc2ray_tpu.ops.chemistry import ChemistryParams
+from pyc2ray_tpu.parallel import (make_domain_mesh, DomainDecomposition,
+                                  evolve3D_domain)
+from pyc2ray_tpu.evolve import evolve3D
+
+from test_raytrace import SIG, DR
+from test_evolve import CHEM
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 devices")
+
+
+def _engine(N, R, batch=2, heating=False):
+    return ChebRaytracer(N, R, SIG, grey_bins(), batch_size=batch,
+                         dtype=jnp.float64, do_heating=heating)
+
+
+def _halo_roundtrip(N, pi, pj, R):
+    """(a) each device's halo_gather frame must equal the corresponding
+    window of the globally wrap-padded field; (b) halo_reduce must be the
+    exact adjoint: reduce(gather(f)) = f * coverage_count per cell."""
+    eng = _engine(N, R)
+    mesh = make_domain_mesh(pi, pj)
+    dd = DomainDecomposition(eng, mesh)
+    rng = np.random.RandomState(0)
+    f = rng.rand(N, N, N)
+    hlo, hhi = dd.hlo, dd.hhi
+    Li, Lj = dd.Li, dd.Lj
+    Ei, Ej, Ek = Li + hlo + hhi, Lj + hlo + hhi, N + hlo + hhi
+
+    @partial(shard_map, mesh=mesh, in_specs=P("di", "dj", None),
+             out_specs=P("di", "dj", None), check_vma=False)
+    def gather(fl):
+        return dd.halo_gather(fl)
+
+    ext = np.asarray(gather(jnp.asarray(f)))     # (pi*Ei, pj*Ej, Ek)
+    padg = np.pad(f, ((N, N),) * 3, mode="wrap")  # generous global pad
+    for oi in range(pi):
+        for oj in range(pj):
+            frame = ext[oi * Ei:(oi + 1) * Ei, oj * Ej:(oj + 1) * Ej]
+            want = padg[N + oi * Li - hlo:N + oi * Li + Li + hhi,
+                        N + oj * Lj - hlo:N + oj * Lj + Lj + hhi,
+                        N - hlo:2 * N + hhi]
+            np.testing.assert_array_equal(frame, want)
+
+    @partial(shard_map, mesh=mesh, in_specs=P("di", "dj", None),
+             out_specs=P("di", "dj", None), check_vma=False)
+    def gather_then_reduce(fl):
+        return dd.halo_reduce(dd.halo_gather(fl))
+
+    out = np.asarray(gather_then_reduce(jnp.asarray(f)))
+
+    from pyc2ray_tpu.parallel.domain import _halo_pieces
+    def cov(L):
+        c = np.ones(L)
+        for s, w in _halo_pieces(hlo, L):
+            c[L - w:] += 1
+        for s, w in _halo_pieces(hhi, L):
+            c[:w] += 1
+        return c
+    ci = np.tile(cov(Li), pi)
+    cj = np.tile(cov(Lj), pj)
+    ck = np.ones(N)
+    ck[N - hlo:] += 1
+    ck[:hhi] += 1
+    exp = f * ci[:, None, None] * cj[None, :, None] * ck[None, None, :]
+    np.testing.assert_allclose(out, exp, rtol=1e-14)
+
+
+def test_halo_roundtrip_2x2():
+    _halo_roundtrip(16, 2, 2, R=3.0)
+
+
+def test_halo_roundtrip_4x2_multihop():
+    # N=16 on 4x2: Li=4 < halo width -> exercises multi-hop exchange
+    _halo_roundtrip(16, 4, 2, R=6.0)
+
+
+def test_domain_trace_matches_single_2x4():
+    N = 16
+    R = 3.0
+    rng = np.random.RandomState(3)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.9, (N, N, N))
+    src = rng.randint(0, N, size=(9, 3))
+    flux = rng.uniform(0.5, 3.0, 9)
+    eng = _engine(N, R)
+    phi_single = np.asarray(eng.trace(ndens, xh, src, flux, DR))
+    dd = DomainDecomposition(eng, make_domain_mesh(2, 4))
+    phi_dom = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_dom, phi_single, rtol=1e-13)
+
+
+def test_domain_trace_multihop_halo():
+    """Halo wider than the local extent (Li=2 < halo) must still match."""
+    N = 16
+    R = 5.0
+    rng = np.random.RandomState(4)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.5, (N, N, N))
+    src = rng.randint(0, N, size=(5, 3))
+    flux = rng.uniform(0.5, 3.0, 5)
+    eng = _engine(N, R)
+    phi_single = np.asarray(eng.trace(ndens, xh, src, flux, DR))
+    dd = DomainDecomposition(eng, make_domain_mesh(8, 1))
+    phi_dom = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_dom, phi_single, rtol=1e-13)
+
+
+def test_domain_full_box_radius():
+    """R covering the whole box (halo = N/2 scale) on a 2x2 submesh."""
+    N = 8
+    rng = np.random.RandomState(5)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.5, (N, N, N))
+    src = np.array([[0, 7, 3], [4, 4, 4]])
+    flux = np.array([1.0, 2.0])
+    eng = _engine(N, R=1e9)
+    phi_single = np.asarray(eng.trace(ndens, xh, src, flux, DR))
+    dd = DomainDecomposition(eng, make_domain_mesh(4, 2))
+    phi_dom = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_dom, phi_single, rtol=1e-13)
+
+
+def test_evolve3D_domain_matches_single():
+    N = 8
+    rng = np.random.RandomState(6)
+    ndens = 1e-3 * np.ones((N, N, N))
+    temp = 1e4 * np.ones(N ** 3)
+    xh = 1.2e-3 * np.ones(N ** 3)
+    src = np.array([[4, 4, 4], [1, 6, 2], [7, 0, 5]])
+    flux = np.array([1.0, 0.5, 2.0])
+    dt = 3.0e13
+
+    eng = _engine(N, R=1e9, batch=2)
+    xh_s, phi_s = evolve3D(dt, DR, flux, src, eng, CHEM,
+                           temp, ndens.reshape(-1), xh, quiet=True)
+    dd = DomainDecomposition(eng, make_domain_mesh(2, 4))
+    xh_d, phi_d = evolve3D_domain(dt, DR, flux, src, dd, CHEM,
+                                  temp, ndens, xh, quiet=True)
+    np.testing.assert_allclose(phi_d, np.asarray(phi_s).reshape(N, N, N),
+                               rtol=1e-12)
+    np.testing.assert_allclose(xh_d, np.asarray(xh_s).reshape(N, N, N),
+                               rtol=1e-12)
