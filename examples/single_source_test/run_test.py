@@ -10,6 +10,13 @@ evolve loop, and the same per-cell error statistics and tolerances are
 applied (run_test.py:89-118).
 
 Usage: python run_test.py [-N 32] [--full]   (--full uses N=128)
+
+NOTE: this is a like-for-like TABLE comparison, so parameters.yml keeps
+``engine: flat`` (table-exact; passes at ~1e-9). The production cheb /
+pallas engines evaluate the exact band integral via spectral bins and
+differ from the table oracle by the TABLE's own interpolation error
+(up to ~2e-4 end-to-end at these tolerances) — see README "Accuracy
+hierarchy".
 """
 
 import argparse

@@ -259,10 +259,15 @@ class C2RaySimulation:
             from ..ops.raytrace_cheb import ChebRaytracer
             from ..radiation.spectral_bins import make_spectral_bins
             ion_freq_HI = ev2fr * self.eth0
+            # quadrature resolution knobs (default 8x8 = 64 bins, ~1e-6
+            # per-rate; raise for golden-tolerance accuracy runs)
+            panels = int(ld["Raytracing"].get("bins_panels", 8))
+            nodes = int(ld["Raytracing"].get("bins_nodes", 8))
             bins = make_spectral_bins(
                 BlackBodySource(self.bb_Teff, self.grey, ion_freq_HI,
                                 self.cs_pl_idx_h),
-                ion_freq_HI, 10 * ev2fr * self.ethe1)
+                ion_freq_HI, 10 * ev2fr * self.ethe1,
+                panels=panels, nodes=nodes)
             self.raytracer = ChebRaytracer(
                 self.N, float(self.R_max_LLS), float(self.sig), bins,
                 batch_size=batch, dtype=dtype,
