@@ -8,17 +8,28 @@ pipeline (BlockSpec index maps) streams in exactly one geometry slice and
 two nhi planes per face per shell, double-buffered, and streams out one
 output plane per face per shell — the irreducible traffic.
 
+Lane packing: a face PAIR (the - and + faces of one axis) is stored as a
+single (B, Dc, 2*Dc) plane with the sign packed into the LANE dimension
+(lane = sign*Dc + b). With Dc = 64 that makes the minor dim 128 = exactly
+one f32 vreg width, doubling VPU utilization vs the (B, 2, Dc, Dc)
+layout whose 64-lane minor dim wastes half of every register. The +-1
+b-shifts become full-lane rolls whose wrap/seam lanes are never selected
+(a cell at b=0 always takes the b+1 branch, b=Dc-1 the b-1 branch), and
+the sign dimension of the cross-face stitches becomes a static half-lane
+select plus a roll by Dc (which swaps the halves).
+
 Formulation identical to raytrace_cheb._sweep (same dependency DAG as the
 reference ASORA/Fortran traversals):
 
-* three face stacks (x/y/z), shell-leading: out[f][r] = plane (B,2,Dc,Dc)
+* three face stacks (x/y/z), shell-leading: out[f][r] = (B, Dc, 2*Dc)
 * stencil = previous parallel plane with +-1 shifts toward the source
 * cross-face stitching via line patches, implemented with masked
   selects/reductions (no dynamic lane indexing, no in-kernel DMAs — both
   crash the Mosaic compiler on this stack)
 
-Geometry is packed host-side as geom[3, R1, 8, Dc, Dc] float:
-channels = (s1, s2, s3, s4, path, diag, mask_minus, mask_plus).
+Geometry is packed host-side as geom[3, R1, 9, Dc, 2*Dc] float:
+channels = (s1..s4, path, diag, mask, dist2, unused); the per-sign masks
+live in the two lane halves of the single mask channel.
 """
 
 import functools
@@ -33,24 +44,27 @@ __all__ = ["cheb_sweep_pallas", "pack_geometry"]
 
 
 def pack_geometry(g, dtype=np.float32):
-    """ChebGeometry -> packed geom[3, R1, 9, Dc, Dc] array.
+    """ChebGeometry -> packed geom[3, R1, 8, Dc, 2*Dc] array.
 
-    Channels: s1..s4, path, diag, mask_minus, mask_plus, dist2. The dist2
-    channel is assembled per face from the 3D table (face f shell r plane
-    at +-r; mirror-symmetric, so one sign suffices)."""
+    Channels: s1..s4, path, diag, mask (minus half | plus half), dist2.
+    Geometry is mirror-symmetric so all channels except the mask are the
+    same in both lane halves."""
     R1 = g.r_max + 1
     Dc, c = g.Dc, g.c
-    out = np.zeros((3, R1, 9, g.Dc, g.Dc), dtype=dtype)
-    out[:, :, 0:4] = np.transpose(g.sw, (0, 2, 1, 3, 4))
-    out[:, :, 4] = g.path
-    out[:, :, 5] = g.diag
-    out[:, :, 6] = g.mask_m
-    out[:, :, 7] = g.mask_p
+    out = np.zeros((3, R1, 8, Dc, 2 * Dc), dtype=dtype)
+    sw = np.transpose(g.sw, (0, 2, 1, 3, 4))          # (3, R1, 4, Dc, Dc)
+    for half in (slice(0, Dc), slice(Dc, 2 * Dc)):
+        out[:, :, 0:4, :, half] = sw
+        out[:, :, 4, :, half] = g.path
+        out[:, :, 5, :, half] = g.diag
+    out[:, :, 6, :, :Dc] = g.mask_m
+    out[:, :, 6, :, Dc:] = g.mask_p
     for r in range(R1):
         ihi = min(c + r, Dc - 1)
-        out[0, r, 8] = g.dist2[ihi, :, :]
-        out[1, r, 8] = g.dist2[:, ihi, :]
-        out[2, r, 8] = g.dist2[:, :, ihi]
+        for f, d2 in enumerate((g.dist2[ihi, :, :], g.dist2[:, ihi, :],
+                                g.dist2[:, :, ihi])):
+            out[f, r, 7, :, :Dc] = d2
+            out[f, r, 7, :, Dc:] = d2
     return out
 
 
@@ -63,34 +77,45 @@ def _kernel(dr_ref, init_ref,
     f32 = Xp.dtype
     r = pl.program_id(0)
     dr = dr_ref[0, 0]
+    D2 = 2 * Dc
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Dc, Dc), 1)
-    subl = jax.lax.broadcasted_iota(jnp.int32, (Dc, Dc), 0)
-    a_up = (subl >= c)[None, None]
-    b_up = (lane >= c)[None, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Dc, D2), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (Dc, D2), 0)
+    b_idx = jnp.where(lane < Dc, lane, lane - Dc)
+    lo_half = (lane < Dc)[None]
+    a_up = (subl >= c)[None]
+    b_up = (b_idx >= c)[None]
 
     def sa(P):
-        # pltpu.roll requires non-negative shifts; Dc-1 == roll by -1
-        return jnp.where(a_up, pltpu.roll(P, 1, 2), pltpu.roll(P, Dc - 1, 2))
+        # pltpu.roll requires non-negative shifts; Dc-1 == roll by -1.
+        # Sublane-axis shift; wrap rows are never selected (a=0 takes the
+        # a+1 branch, a=Dc-1 the a-1 branch).
+        return jnp.where(a_up, pltpu.roll(P, 1, 1), pltpu.roll(P, Dc - 1, 1))
 
     def sb(P):
-        return jnp.where(b_up, pltpu.roll(P, 1, 3), pltpu.roll(P, Dc - 1, 3))
+        # full-lane roll; the half-seam lanes (b=0 of one face reading
+        # b=Dc-1 of the other) are never selected for the same reason.
+        return jnp.where(b_up, pltpu.roll(P, 1, 2), pltpu.roll(P, D2 - 1, 2))
 
-    def col_of(P, pos):
-        m = (lane[None, None] == pos)
-        return jnp.sum(jnp.where(m, P, 0.0), axis=3)
+    def swap(line):
+        # (B, 2Dc) line: exchange the sign halves
+        return pltpu.roll(line, Dc, 1)
 
-    def row_of(P, pos):
-        m = (subl[None, None] == pos)
-        return jnp.sum(jnp.where(m, P, 0.0), axis=2)
+    def row_of(P, apos):
+        """(B, 2Dc) line of the plane at sublane a = apos."""
+        return jnp.sum(jnp.where(subl[None] == apos, P, 0.0), axis=1)
 
-    def put_col(P, pos, col, ok):
-        m = (lane[None, None] == pos) & ok
-        return jnp.where(m, col[:, :, :, None], P)
+    def col_of(P, lpos):
+        """(B, Dc) line of the plane at lane = lpos (one sign half)."""
+        return jnp.sum(jnp.where(lane[None] == lpos, P, 0.0), axis=2)
 
-    def put_row(P, pos, row, ok):
-        m = (subl[None, None] == pos) & ok
-        return jnp.where(m, row[:, :, None, :], P)
+    def put_row(P, apos, row, ok):
+        m = (subl[None] == apos) & ok
+        return jnp.where(m, row[:, None, :], P)
+
+    def put_lane(P, lpos, col, ok):
+        m = (lane[None] == lpos) & ok
+        return jnp.where(m, col[:, :, None], P)
 
     @pl.when(r == 0)
     def _():
@@ -112,20 +137,20 @@ def _kernel(dr_ref, init_ref,
 
         def face(geom_ref, nlo_ref, nhi_ref, out_ref, P):
             gb = geom_ref[0]
-            nhi = jnp.stack([nlo_ref[0], nhi_ref[0]], axis=1)  # (B,2,Dc,Dc)
+            nhi = jnp.concatenate([nlo_ref[0], nhi_ref[0]], axis=-1)
             Pa = sa(P)
             Pb = sb(P)
             Pab = sb(Pa)
-            w1 = gb[0][None, None] / jnp.maximum(lim, Pab * sig)
-            w2 = gb[1][None, None] / jnp.maximum(lim, Pb * sig)
-            w3 = gb[2][None, None] / jnp.maximum(lim, Pa * sig)
-            w4 = gb[3][None, None] / jnp.maximum(lim, P * sig)
-            cdin = gb[5][None, None] \
+            w1 = gb[0][None] / jnp.maximum(lim, Pab * sig)
+            w2 = gb[1][None] / jnp.maximum(lim, Pb * sig)
+            w3 = gb[2][None] / jnp.maximum(lim, Pa * sig)
+            w4 = gb[3][None] / jnp.maximum(lim, P * sig)
+            cdin = gb[5][None] \
                 * (Pab * w1 + Pb * w2 + Pa * w3 + P * w4) \
                 / (w1 + w2 + w3 + w4)
-            dcol = nhi * (gb[4][None, None] * dr)
+            dcol = nhi * (gb[4][None] * dr)
             cdout = cdin + dcol
-            mask = jnp.stack([gb[6], gb[7]])[None] > 0.5
+            mask = gb[6][None] > 0.5
             new = jnp.where(mask, cdout, 0.0)
             if bins is None:
                 out_ref[...] = new[None]
@@ -150,48 +175,71 @@ def _kernel(dr_ref, init_ref,
                                    * nexpm1(dtau * s_e))
             s_over_dr3 = jnp.exp(
                 jnp.asarray(110.52408446371419, f32) - 3.0 * jnp.log(dr))
-            d2 = gb[8][None, None]
-            pref = s_over_dr3 / (d2 * gb[4][None, None]
+            d2 = gb[7][None]
+            pref = s_over_dr3 / (d2 * gb[4][None]
                                  * 12.566370614359172)
             rmask = mask & (d2 <= R2) & (cdin <= 2.0e30)
             phi = jnp.where(rmask, pref * acc / nhi, 0.0)
             out_ref[...] = phi[None]
             return new
 
-        # ---- x faces
+        # ---- x faces (plane (j, sign x k)); stencil from X/Y/Z[r-1]
         P = Xp[...]
-        yl = row_of(Yp[...], alo)
+        # rows j=+-(r-1): X- <- Y-(i=alo/ahi) over k; X+ <- Y+(same)
+        yl = row_of(Yp[...], alo)     # [Y-(alo,k) | Y+(alo,k)]
         yh = row_of(Yp[...], ahi)
-        P = put_row(P, alo, jnp.stack([yl[:, 0], yh[:, 0]], 1), True)
-        P = put_row(P, ahi, jnp.stack([yl[:, 1], yh[:, 1]], 1), True)
-        zl = row_of(Zp[...], alo)
+        # X- row j=alo <- Y-(i=alo); X+ row j=alo <- Y-(i=ahi)
+        P = put_row(P, alo, jnp.where(lane[0] < Dc, yl, swap(yh)), True)
+        # X- row j=ahi <- Y+(i=alo); X+ row j=ahi <- Y+(i=ahi)
+        P = put_row(P, ahi, jnp.where(lane[0] < Dc, swap(yl), yh), True)
+        # cols k=+-(r-1) from Z rows (i=alo/ahi) over j (j -> sublanes)
+        zl = row_of(Zp[...], alo)     # [Z-(alo,j) | Z+(alo,j)]
         zh = row_of(Zp[...], ahi)
-        P = put_col(P, alo, jnp.stack([zl[:, 0], zh[:, 0]], 1), True)
-        P = put_col(P, ahi, jnp.stack([zl[:, 1], zh[:, 1]], 1), True)
+        P = put_lane(P, alo, zl[:, :Dc], True)        # X- k=alo <- Z-(alo)
+        P = put_lane(P, Dc + alo, zh[:, :Dc], True)   # X+ k=alo <- Z-(ahi)
+        P = put_lane(P, ahi, zl[:, Dc:], True)        # X- k=ahi <- Z+(alo)
+        P = put_lane(P, Dc + ahi, zh[:, Dc:], True)   # X+ k=ahi <- Z+(ahi)
         Xn = face(gx_ref, nx_lo, nx_hi, xs_ref, P)
 
-        # ---- y faces
+        # ---- y faces (plane (i, sign x k)); stencil Y[r-1]+Z[r-1]+X[r]
         P = Yp[...]
-        zcl = col_of(Zp[...], alo)
-        zch = col_of(Zp[...], ahi)
-        P = put_col(P, alo, jnp.stack([zcl[:, 0], zch[:, 0]], 1), True)
-        P = put_col(P, ahi, jnp.stack([zcl[:, 1], zch[:, 1]], 1), True)
-        xl = row_of(Xn, alo)
+        # cols k=+-(r-1) from Z cols (j=alo/ahi) over i (i -> sublanes)
+        zc_m_alo = col_of(Zp[...], alo)        # Z-(j=alo) over i
+        zc_m_ahi = col_of(Zp[...], ahi)        # Z-(j=ahi)
+        zc_p_alo = col_of(Zp[...], Dc + alo)   # Z+(j=alo)
+        zc_p_ahi = col_of(Zp[...], Dc + ahi)   # Z+(j=ahi)
+        P = put_lane(P, alo, zc_m_alo, True)          # Y- k=alo <- Z-(j=alo)
+        P = put_lane(P, Dc + alo, zc_m_ahi, True)     # Y+ k=alo <- Z-(j=ahi)
+        P = put_lane(P, ahi, zc_p_alo, True)          # Y- k=ahi <- Z+(j=alo)
+        P = put_lane(P, Dc + ahi, zc_p_ahi, True)     # Y+ k=ahi <- Z+(j=ahi)
+        # rows i=+-r from X rows (j=alo/ahi) over k
+        xl = row_of(Xn, alo)          # [X-(alo,k) | X+(alo,k)]
         xh2 = row_of(Xn, ahi)
-        P = put_row(P, c - r, jnp.stack([xl[:, 0], xh2[:, 0]], 1), ok_lo)
-        P = put_row(P, c + r, jnp.stack([xl[:, 1], xh2[:, 1]], 1), ok_hi)
+        P = put_row(P, c - r, jnp.where(lane[0] < Dc, xl, swap(xh2)), ok_lo)
+        P = put_row(P, c + r, jnp.where(lane[0] < Dc, swap(xl), xh2), ok_hi)
         Yn = face(gy_ref, ny_lo, ny_hi, ys_ref, P)
 
-        # ---- z faces
+        # ---- z faces (plane (i, sign x j)); stencil Z[r-1]+X[r]+Y[r]
         P = Zp[...]
-        xcl = col_of(Xn, alo)
-        xch = col_of(Xn, ahi)
-        P = put_row(P, c - r, jnp.stack([xcl[:, 0], xch[:, 0]], 1), ok_lo)
-        P = put_row(P, c + r, jnp.stack([xcl[:, 1], xch[:, 1]], 1), ok_hi)
-        ycl = col_of(Yn, alo)
-        ych = col_of(Yn, ahi)
-        P = put_col(P, c - r, jnp.stack([ycl[:, 0], ych[:, 0]], 1), ok_lo)
-        P = put_col(P, c + r, jnp.stack([ycl[:, 1], ych[:, 1]], 1), ok_hi)
+        # rows i=+-r from X cols (k=alo/ahi) over j (j stays on lanes)
+        xc_m_alo = col_of(Xn, alo)             # X-(k=alo) over j
+        xc_m_ahi = col_of(Xn, ahi)             # X-(k=ahi)
+        xc_p_alo = col_of(Xn, Dc + alo)        # X+(k=alo)
+        xc_p_ahi = col_of(Xn, Dc + ahi)        # X+(k=ahi)
+        # Z- row i=c-r <- X-(k=alo) over j; Z+ row i=c-r <- X-(k=ahi)
+        row_ilo = jnp.concatenate([xc_m_alo, xc_m_ahi], axis=-1)
+        row_ihi = jnp.concatenate([xc_p_alo, xc_p_ahi], axis=-1)
+        P = put_row(P, c - r, row_ilo, ok_lo)
+        P = put_row(P, c + r, row_ihi, ok_hi)
+        # cols j=+-r from Y cols (k=alo/ahi) over i (i -> sublanes)
+        yc_m_alo = col_of(Yn, alo)             # Y-(k=alo) over i
+        yc_m_ahi = col_of(Yn, ahi)
+        yc_p_alo = col_of(Yn, Dc + alo)
+        yc_p_ahi = col_of(Yn, Dc + ahi)
+        P = put_lane(P, c - r, yc_m_alo, ok_lo)       # Z- j=c-r <- Y-(k=alo)
+        P = put_lane(P, Dc + c - r, yc_m_ahi, ok_lo)  # Z+ j=c-r <- Y-(k=ahi)
+        P = put_lane(P, c + r, yc_p_alo, ok_hi)       # Z- j=c+r <- Y+(k=alo)
+        P = put_lane(P, Dc + c + r, yc_p_ahi, ok_hi)  # Z+ j=c+r <- Y+(k=ahi)
         Zn = face(gz_ref, nz_lo, nz_hi, zs_ref, P)
 
         Xp[...] = Xn
@@ -207,12 +255,13 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
                       interpret=False):
     """Run the sweep kernel over a sequential shell grid.
 
-    geom: (3, R1, 8, Dc, Dc); nhi_{x,y,z}: (Dc, B, Dc, Dc) face-leading;
-    init_plane: (B, 2, Dc, Dc) sheet with the source cell set.
-    With bins=None returns column-density stacks; with bins a static
-    tuple of (s_e, w_e) pairs, the rate pass is fused and the outputs are
-    flux-less Gamma stacks (multiply by the per-source flux outside).
-    Returns (X, Y, Z) stacks of shape (R1, B, 2, Dc, Dc).
+    geom: (3, R1, 8, Dc, 2*Dc); nhi_{x,y,z}: (Dc, B, Dc, Dc) face-leading;
+    init_plane: (B, Dc, 2*Dc) sheet with the source cell set in both
+    halves. With bins=None returns column-density stacks; with bins a
+    static tuple of (s_e, w_e) pairs, the rate pass is fused and the
+    outputs are flux-less Gamma stacks (multiply by the per-source flux
+    outside). Returns (X, Y, Z) stacks of shape (R1, B, Dc, 2*Dc) with
+    the face sign packed in the lane dimension.
     """
     dt = nhi_x.dtype
     kern = functools.partial(_kernel, B=B, Dc=Dc, c=c, sig=float(sig),
@@ -225,11 +274,11 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
     nspec_hi = pl.BlockSpec((1, B, Dc, Dc),
                             lambda r: (jnp.minimum(c + r, Dc - 1), 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    g4 = pl.BlockSpec((1, 9, Dc, Dc), lambda r: (r, 0, 0, 0),
+    g4 = pl.BlockSpec((1, 8, Dc, 2 * Dc), lambda r: (r, 0, 0, 0),
                       memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, B, 2, Dc, Dc), lambda r: (r, 0, 0, 0, 0),
+    out_spec = pl.BlockSpec((1, B, Dc, 2 * Dc), lambda r: (r, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((R1, B, 2, Dc, Dc), dt)] * 3
+    out_shape = [jax.ShapeDtypeStruct((R1, B, Dc, 2 * Dc), dt)] * 3
 
     return pl.pallas_call(
         kern,
@@ -237,7 +286,7 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # dr
-            pl.BlockSpec((B, 2, Dc, Dc), lambda r: (0, 0, 0, 0),
+            pl.BlockSpec((B, Dc, 2 * Dc), lambda r: (0, 0, 0),
                          memory_space=pltpu.VMEM),            # init plane
             g4, g4, g4,                                       # geometry
             nspec_lo, nspec_hi,                               # nhi_x planes
@@ -246,9 +295,9 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
         ],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((B, 2, Dc, Dc), dt),
-            pltpu.VMEM((B, 2, Dc, Dc), dt),
-            pltpu.VMEM((B, 2, Dc, Dc), dt),
+            pltpu.VMEM((B, Dc, 2 * Dc), dt),
+            pltpu.VMEM((B, Dc, 2 * Dc), dt),
+            pltpu.VMEM((B, Dc, 2 * Dc), dt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

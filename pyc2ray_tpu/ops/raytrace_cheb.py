@@ -170,6 +170,40 @@ class ChebRaytracer:
         cd = cd + jnp.transpose(fold(Z), (0, 2, 3, 1))    # (B, k, i, j) -> T
         return cd.at[:, c, c, c].set(src_cd)
 
+    def _fold_stacks_packed(self, X, Y, Z, src_cd):
+        """Fold the lane-packed (R1, B, Dc, 2*Dc) face stacks from the
+        Pallas kernel into the cartesian box (B, Dc, Dc, Dc).
+
+        Pure static assembly (no per-shell loop): shell r's minus face is
+        box plane c-r and its plus face c+r, so the whole stack maps to a
+        contiguous plane range via one flip + transpose per sign."""
+        g = self.geom
+        dt = self.dtype
+        B = src_cd.shape[0]
+        c, Dc, R1 = g.c, g.Dc, g.r_max + 1
+
+        def fold(S):
+            Sm = S[:, :, :, :Dc]      # minus faces (shell-leading)
+            Sp = S[:, :, :, Dc:]
+            n_dn = min(c, R1 - 1)
+            n_up = min(Dc - 1 - c, R1 - 1)
+            dn = jnp.flip(Sm[1:n_dn + 1], 0).transpose(1, 0, 2, 3)
+            up = Sp[1:n_up + 1].transpose(1, 0, 2, 3)
+            parts = []
+            pad_lo = c - n_dn
+            if pad_lo > 0:
+                parts.append(jnp.zeros((B, pad_lo, Dc, Dc), dt))
+            parts += [dn, jnp.zeros((B, 1, Dc, Dc), dt), up]
+            pad_hi = (Dc - 1 - c) - n_up
+            if pad_hi > 0:
+                parts.append(jnp.zeros((B, pad_hi, Dc, Dc), dt))
+            return jnp.concatenate(parts, axis=1)
+
+        cd = fold(X)                                      # (B, i, j, k)
+        cd = cd + jnp.transpose(fold(Y), (0, 2, 1, 3))    # (B, j, i, k) -> T
+        cd = cd + jnp.transpose(fold(Z), (0, 2, 3, 1))    # (B, k, i, j) -> T
+        return cd.at[:, c, c, c].set(src_cd)
+
     def _sweep_pallas(self, tb, nhi_box, dr, fuse_rates=False):
         """Sweep via the monolithic Pallas kernel (pallas_sweep.py).
 
@@ -184,12 +218,12 @@ class ChebRaytracer:
         ny = jnp.transpose(nhi_box, (2, 0, 1, 3))
         nz = jnp.transpose(nhi_box, (3, 0, 1, 2))
         src_cd = nhi_box[:, g.c, g.c, g.c] * (0.5 * dr)
-        ar = lax.broadcasted_iota(jnp.int32, (g.Dc, g.Dc), 0)
-        br = lax.broadcasted_iota(jnp.int32, (g.Dc, g.Dc), 1)
-        center = ((ar == g.c) & (br == g.c))[None, None]
+        ar = lax.broadcasted_iota(jnp.int32, (g.Dc, 2 * g.Dc), 0)
+        br = lax.broadcasted_iota(jnp.int32, (g.Dc, 2 * g.Dc), 1)
+        center = ((ar == g.c) & ((br == g.c) | (br == g.Dc + g.c)))[None]
         init_plane = jnp.broadcast_to(
-            jnp.where(center, src_cd[:, None, None, None], 0.0),
-            (B, 2, g.Dc, g.Dc)).astype(self.dtype)
+            jnp.where(center, src_cd[:, None, None], 0.0),
+            (B, g.Dc, 2 * g.Dc)).astype(self.dtype)
         X, Y, Z = cheb_sweep_pallas(
             tb.geom_packed, nx, ny, nz, dr, init_plane,
             B=B, Dc=g.Dc, R1=g.r_max + 1, c=g.c, sig=self.sig,
@@ -197,7 +231,7 @@ class ChebRaytracer:
             R2=self.R_max_LLS ** 2,
             interpret=self._pallas_interpret)
         center_val = jnp.zeros_like(src_cd) if fuse_rates else src_cd
-        return self._fold_stacks(X, Y, Z, center_val)
+        return self._fold_stacks_packed(X, Y, Z, center_val)
 
     def _source_cell_rate(self, nhi_box, flux, dr):
         """Gamma of the source cell itself (tau_in = 0, vol = dr^3;
