@@ -106,13 +106,38 @@ class C2RaySimulation:
     def evolve3D(self, dt, src_flux, src_pos):
         """Evolve the grid over one timestep (c2ray_base.py:170-226).
 
-        src_pos is (3, NumSrc) 1-indexed (reference convention)."""
+        src_pos is (3, NumSrc) 1-indexed (reference convention).
+
+        Dispatch mirrors the reference's single/MPI switch
+        (c2ray_base.py:185-226): with no mesh the single-device path
+        runs; a ("src","space") mesh selects the source-parallel psum
+        path; a ("di","dj") mesh selects the domain-decomposed
+        halo-exchange path (beyond reference)."""
         pos, flux = format_sources(src_pos, src_flux)
-        self.xh, self.phi_ion = evolve3D(
-            dt, self.dr, flux, pos, self.raytracer, self.chem,
-            self.temp, self.ndens, self.xh,
-            convergence_fraction=self.convergence_fraction,
-            logfile=self.logfile, quiet=False)
+        if self.mesh is not None and "di" in self.mesh.axis_names:
+            from ..parallel.domain import (DomainDecomposition,
+                                           evolve3D_domain)
+            if getattr(self, "_decomp", None) is None:
+                self._decomp = DomainDecomposition(self.raytracer, self.mesh)
+            xh, phi = evolve3D_domain(
+                dt, self.dr, flux, pos, self._decomp, self.chem,
+                self.temp, self.ndens, self.xh,
+                convergence_fraction=self.convergence_fraction,
+                logfile=self.logfile, quiet=False)
+            self.xh, self.phi_ion = xh, phi
+        elif self.mesh is not None:
+            from ..parallel.source_parallel import evolve3D_sharded
+            self.xh, self.phi_ion = evolve3D_sharded(
+                dt, self.dr, flux, pos, self.raytracer, self.mesh,
+                self.chem, self.temp, self.ndens, self.xh,
+                convergence_fraction=self.convergence_fraction,
+                logfile=self.logfile, quiet=False)
+        else:
+            self.xh, self.phi_ion = evolve3D(
+                dt, self.dr, flux, pos, self.raytracer, self.chem,
+                self.temp, self.ndens, self.xh,
+                convergence_fraction=self.convergence_fraction,
+                logfile=self.logfile, quiet=False)
 
     def cosmo_evolve(self, dt):
         """Dilute density / contract cell size over a timestep using the

@@ -116,3 +116,38 @@ def test_cubep3m_resume(tmp_path):
     sim2 = pc2r.C2Ray_CubeP3M(pfile2, N)
     assert abs(sim2.zred_0 - zlist[1]) < 1e-3
     np.testing.assert_allclose(sim2.xh, xh_saved, rtol=1e-12)
+
+
+def test_model_mesh_dispatch(tmp_path):
+    """The model's evolve3D dispatches to the source-parallel and
+    domain-decomposed paths by mesh axis names (reference single/MPI
+    switch, c2ray_base.py:185-226) — all three must agree exactly."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from pyc2ray_tpu.parallel import make_mesh, make_domain_mesh
+
+    N = 16
+    srcpos = np.array([[4, 12], [8, 3], [8, 9]], dtype=float)
+    srcflux = np.array([10.0, 5.0])
+    results = {}
+    for mode in ("single", "src", "domain"):
+        d = tmp_path / mode
+        d.mkdir()
+        pfile = _setup(d, "cheb")
+        sim = pc2r.C2Ray_Test(pfile, N, use_gpu=True)
+        if mode == "src":
+            sim.mesh = make_mesh()
+        elif mode == "domain":
+            sim.mesh = make_domain_mesh(4, 2)
+        sim.ndens = 1e-3 * np.ones((N, N, N))
+        zreds = sim.generate_redshift_array(2, 1e6)
+        dt = sim.set_timestep(zreds[0], zreds[1], 2)
+        sim.evolve3D(dt, srcflux, srcpos)
+        results[mode] = (np.asarray(sim.xh).reshape(N, N, N),
+                         np.asarray(sim.phi_ion).reshape(N, N, N))
+    for mode in ("src", "domain"):
+        np.testing.assert_allclose(results[mode][0], results["single"][0],
+                                   rtol=1e-10)
+        np.testing.assert_allclose(results[mode][1], results["single"][1],
+                                   rtol=1e-10)
