@@ -25,7 +25,7 @@ __all__ = ["evolve3D", "EvolveResult"]
 def evolve3D(dt, dr, src_flux, src_pos, raytracer,
              chem: ChemistryParams, temp, ndens, xh,
              convergence_fraction=1e-4, logfile=None, quiet=False,
-             max_iterations=100):
+             max_iterations=100, thermal=None, zred=0.0):
     """Evolve the ionized fraction over one timestep until convergence.
 
     Parameters
@@ -39,11 +39,17 @@ def evolve3D(dt, dr, src_flux, src_pos, raytracer,
     temp, ndens, xh : (N,N,N) grids (K, cm^-3, ionized fraction)
     convergence_fraction : fraction of cells allowed to remain unconverged
         (reference evolve.py:127)
+    thermal : ops.thermal.ThermalParams, optional
+        Non-isothermal mode (beyond reference): after the ionization
+        convergence loop the temperature advances over dt using the
+        converged photoheating rates (requires a raytracer built with
+        do_heating). zred enters the Compton cooling term.
 
     Returns
     -------
     xh_new : (N,N,N) updated ionized fraction
     phi_ion : (N,N,N) photoionization rates of the last iteration
+    temp_new : (N,N,N), only when ``thermal`` is given
     """
     cfg = raytracer.config
     N = cfg.N
@@ -75,12 +81,18 @@ def evolve3D(dt, dr, src_flux, src_pos, raytracer,
     printlog(f"Convergence criterion (number of points): {conv_criterion:n}",
              logfile, quiet, end="\n\n")
 
+    if thermal is not None and not raytracer.config.do_heating:
+        raise ValueError("thermal evolution requires a raytracer with "
+                         "do_heating=True (Photo.compute_heating_rates)")
+
     phi_ion = None
+    phi_heat = None
     while not converged and niter < max_iterations:
         niter += 1
 
         t0 = time.time()
-        phi_ion, _ = raytracer.trace_batches(ndens_d, xh_av, pos_b, flux_b, dr_d)
+        phi_ion, phi_heat = raytracer.trace_batches(ndens_d, xh_av, pos_b,
+                                                    flux_b, dr_d)
         phi_ion.block_until_ready()
         printlog(f"Raytracing took {time.time()-t0:.3f} s.", logfile, quiet)
 
@@ -105,6 +117,17 @@ def evolve3D(dt, dr, src_flux, src_pos, raytracer,
 
     printlog("Multiple source convergence reached.", logfile, quiet)
     shape3 = (N, N, N)
+    if thermal is not None:
+        from .ops.thermal import update_temperature
+        t0 = time.time()
+        temp_new = update_temperature(dt_d, temp_d, ndens_d, xh_av,
+                                      phi_heat, thermal, z=float(zred))
+        temp_np = np.asarray(temp_new).reshape(shape3)
+        printlog(f"Thermal update took {time.time()-t0:.3f} s "
+                 f"(T range {temp_np.min():.1f}..{temp_np.max():.1f} K).",
+                 logfile, quiet)
+        return (np.asarray(xh_intermed).reshape(shape3),
+                np.asarray(phi_ion).reshape(shape3), temp_np)
     return (np.asarray(xh_intermed).reshape(shape3),
             np.asarray(phi_ion).reshape(shape3))
 

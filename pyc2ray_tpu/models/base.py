@@ -133,11 +133,16 @@ class C2RaySimulation:
                 convergence_fraction=self.convergence_fraction,
                 logfile=self.logfile, quiet=False)
         else:
-            self.xh, self.phi_ion = evolve3D(
+            out = evolve3D(
                 dt, self.dr, flux, pos, self.raytracer, self.chem,
                 self.temp, self.ndens, self.xh,
                 convergence_fraction=self.convergence_fraction,
-                logfile=self.logfile, quiet=False)
+                logfile=self.logfile, quiet=False,
+                thermal=self.thermal, zred=self.zred)
+            if self.thermal is not None:
+                self.xh, self.phi_ion, self.temp = out
+            else:
+                self.xh, self.phi_ion = out
 
     def cosmo_evolve(self, dt):
         """Dilute density / contract cell size over a timestep using the
@@ -150,6 +155,9 @@ class C2RaySimulation:
             dilution = ((1 + z_half) / (1 + self.zred)) ** 3
             self.ndens = self.ndens * dilution
             self.dr = self.dr_c * self.cosmology.scale_factor(z_half)
+            if not getattr(self, "isothermal", True):
+                # adiabatic cooling of the expanding gas: T ~ rho^(2/3)
+                self.temp = self.temp * dilution ** (2.0 / 3.0)
         self.zred = z_half
         self.time = t_after
 
@@ -209,6 +217,18 @@ class C2RaySimulation:
         self.chem = ChemistryParams(
             bh00=self.bh00, albpow=self.albpow, colh0=self.colh0,
             temph0=self.temph0, abu_c=self.abu_c)
+        # Non-isothermal mode (beyond reference; the reference declares
+        # the thermal chemistry TODO, README.md:81-87): Material.isothermal
+        # defaults to true = reference behavior. When false, evolve3D
+        # advances the temperature with the photoheating rates.
+        self.isothermal = bool(ld["Material"].get("isothermal", True))
+        if not self.isothermal:
+            from ..ops.thermal import ThermalParams
+            self.thermal = ThermalParams(
+                bh00=self.bh00, albpow=self.albpow, colh0=self.colh0,
+                temph0=self.temph0, abu_c=self.abu_c)
+        else:
+            self.thermal = None
 
     def _cosmology_init(self):
         """(c2ray_base.py:354-373)"""
