@@ -119,12 +119,16 @@ class C2RaySimulation:
                                            evolve3D_domain)
             if getattr(self, "_decomp", None) is None:
                 self._decomp = DomainDecomposition(self.raytracer, self.mesh)
-            xh, phi = evolve3D_domain(
+            out = evolve3D_domain(
                 dt, self.dr, flux, pos, self._decomp, self.chem,
                 self.temp, self.ndens, self.xh,
                 convergence_fraction=self.convergence_fraction,
-                logfile=self.logfile, quiet=False)
-            self.xh, self.phi_ion = xh, phi
+                logfile=self.logfile, quiet=False,
+                thermal=self.thermal, zred=self.zred)
+            if self.thermal is not None:
+                self.xh, self.phi_ion, self.temp = out
+            else:
+                self.xh, self.phi_ion = out
         elif self.mesh is not None:
             from ..parallel.source_parallel import evolve3D_sharded
             self.xh, self.phi_ion = evolve3D_sharded(

@@ -227,17 +227,23 @@ class DomainDecomposition:
         """Jitted domain-decomposed (raytrace + chemistry) iteration.
 
         All fields stay sharded (Li, Lj, N) across iterations — nothing
-        is ever replicated or gathered; scalars are the only psums."""
+        is ever replicated or gathered; scalars are the only psums.
+        With a heating engine the step also returns the local heating
+        rates (for the post-convergence thermal update)."""
         eng = self.engine
         spec = P("di", "dj", None)
+        heating = eng.do_heating
 
         @partial(shard_map, mesh=self.mesh,
                  in_specs=(P(), spec, spec, spec, spec,
                            P(("di", "dj")), P(("di", "dj")), P(), P()),
-                 out_specs=(spec, spec, spec, P(), P(), P()),
+                 out_specs=((spec, spec, spec, spec, P(), P(), P())
+                            if heating else
+                            (spec, spec, spec, P(), P(), P())),
                  check_vma=False)
         def step(tb, ndens, temp, xh, xh_av, pos_b, flux_b, dt, dr):
-            phi, _ = self._trace_shard(tb, ndens, xh_av, pos_b, flux_b, dr)
+            phi, heat = self._trace_shard(tb, ndens, xh_av, pos_b,
+                                          flux_b, dr)
             sh = phi.shape
             xi, xav, cf = global_pass(
                 dt, ndens.reshape(-1), temp.reshape(-1), xh.reshape(-1),
@@ -245,20 +251,39 @@ class DomainDecomposition:
             s1 = jax.lax.psum(jnp.sum(xi), ("di", "dj"))
             s0 = jax.lax.psum(jnp.sum(1.0 - xi), ("di", "dj"))
             cf = jax.lax.psum(cf, ("di", "dj"))
+            if heating:
+                return (xi.reshape(sh), xav.reshape(sh), phi, heat,
+                        cf, s1, s0)
             return (xi.reshape(sh), xav.reshape(sh), phi, cf, s1, s0)
 
         def step_with_tables(*args):
             return jax.jit(step)(eng.tables, *args)
         return step_with_tables
 
+    def make_thermal_step(self, thermal, zred=0.0, nsub=16):
+        """Sharded post-convergence temperature update (shard-local,
+        zero communication — see ops/thermal.py)."""
+        from ..ops.thermal import update_temperature
+        spec = P("di", "dj", None)
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(P(), spec, spec, spec, spec),
+                 out_specs=spec, check_vma=False)
+        def tstep(dt, temp, ndens, xh_av, heat):
+            return update_temperature(dt, temp, ndens, xh_av, heat,
+                                      thermal, z=zred, nsub=nsub)
+        return jax.jit(tstep)
+
 
 def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
                     chem: ChemistryParams, temp, ndens, xh,
                     convergence_fraction=1e-4, logfile=None, quiet=False,
-                    max_iterations=100):
+                    max_iterations=100, thermal=None, zred=0.0):
     """Domain-decomposed evolve3D: the convergence loop of the reference's
     evolve3D_MPI (evolve.py:249) with halo exchange instead of replicated
-    Reduce+Bcast, and chemistry shard-local."""
+    Reduce+Bcast, and chemistry shard-local. With ``thermal`` the
+    temperature advances after convergence (shard-local, zero comms) and
+    a third array is returned."""
     eng = decomp.engine
     N = decomp.N
     num_cells = N ** 3
@@ -275,20 +300,29 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
     pos_b, flux_b = decomp.prepare_sources(src_pos, src_flux)
     step = decomp.make_step(chem)
 
+    heating = decomp.engine.do_heating
+    if thermal is not None and not heating:
+        raise ValueError("thermal evolution requires a heating engine")
+
     prev_sum_xh1 = 2.0 * num_cells
     prev_sum_xh0 = 2.0 * num_cells
     converged = False
     niter = 0
     phi_ion = None
+    phi_heat = None
     printlog(f"Calling evolve3D over domain mesh "
              f"{decomp.pi}x{decomp.pj} (halo {decomp.hlo}/{decomp.hhi})...",
              logfile, quiet)
     while not converged and niter < max_iterations:
         niter += 1
         t0 = time.time()
-        xh_intermed, xh_av, phi_ion, conv_flag, sum_xh1, sum_xh0 = step(
-            ndens_d, temp_d, xh_d, xh_av, pos_b, flux_b,
-            jnp.asarray(dt, dtype), jnp.asarray(dr, dtype))
+        out = step(ndens_d, temp_d, xh_d, xh_av, pos_b, flux_b,
+                   jnp.asarray(dt, dtype), jnp.asarray(dr, dtype))
+        if heating:
+            (xh_intermed, xh_av, phi_ion, phi_heat,
+             conv_flag, sum_xh1, sum_xh0) = out
+        else:
+            xh_intermed, xh_av, phi_ion, conv_flag, sum_xh1, sum_xh0 = out
         conv_flag, sum_xh1, sum_xh0 = jax.device_get(
             (conv_flag, sum_xh1, sum_xh0))
         printlog(f"Iteration {niter} took {time.time()-t0:.3f} s; "
@@ -299,5 +333,12 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
             (rel1 < convergence_fraction) and (rel0 < convergence_fraction))
         prev_sum_xh1, prev_sum_xh0 = sum_xh1, sum_xh0
 
+    if thermal is not None:
+        tstep = decomp.make_thermal_step(thermal, zred=float(zred))
+        temp_new = tstep(jnp.asarray(dt, dtype), temp_d, ndens_d,
+                         xh_av, phi_heat)
+        return (np.asarray(xh_intermed).reshape(sh3),
+                np.asarray(phi_ion).reshape(sh3),
+                np.asarray(temp_new).reshape(sh3))
     return (np.asarray(xh_intermed).reshape(sh3),
             np.asarray(phi_ion).reshape(sh3))
