@@ -159,3 +159,18 @@ def test_evolve3D_domain_matches_single():
                                rtol=1e-12)
     np.testing.assert_allclose(xh_d, np.asarray(xh_s).reshape(N, N, N),
                                rtol=1e-12)
+
+
+def test_multihost_helpers_single_process():
+    """multihost entry points degrade gracefully in a single process:
+    initialize() is a no-op, meshes span all (virtual) devices."""
+    from pyc2ray_tpu.parallel import multihost
+    assert multihost.initialize() is False
+    assert multihost.is_primary()
+    mesh = multihost.global_domain_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("di", "dj")
+    pi, pj = mesh.devices.shape
+    assert pi * pj == 8 and {pi, pj} <= {1, 2, 4, 8}
+    smesh = multihost.global_source_mesh()
+    assert smesh.axis_names == ("src", "space")
