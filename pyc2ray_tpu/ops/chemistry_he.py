@@ -1,0 +1,222 @@
+"""Coupled hydrogen + helium ionization chemistry — the He extension.
+
+Helium chemistry is declared TODO in the reference (README.md:81-87).
+This module extends the C2Ray chemistry pattern (ops/chemistry.py /
+chemistry.f90: analytic per-cell solution with constant rates, iterated
+on the time-averaged electron density) to the three-species system
+
+    x   = n_HII / n_H                  (doric closed form, reused)
+    y1  = n_HeII / n_He,  y2 = n_HeIII / n_He
+
+With rates frozen per iteration, the helium pair obeys the LINEAR system
+
+    d/dt (y1, y2) = A (y1, y2)^T + b,
+    A = [[-(G1 + G2 + R2),  -G1 + R3],
+         [ G2,              -R3     ]],      b = (G1, 0)
+    G1 = Gamma_HeI + ne C_HeI(T),  G2 = Gamma_HeII + ne C_HeII(T),
+    R2 = ne alpha_HeII(T),         R3 = ne alpha_HeIII(T)
+
+solved EXACTLY over the timestep with the 2x2 matrix exponential in
+eigen form (real eigenvalues: the system is a compartmental birth-death
+chain), including the exact time average
+
+    <u> = u_eq + [phi(l1 dt) P1 + phi(l2 dt) P2] (u0 - u_eq),
+    phi(z) = (e^z - 1)/z
+
+— the direct generalization of doric's scalar (x0-xeq)e^{-dt}+xeq and
+its avg_factor (chemistry.f90:285-306). The outer iteration updates
+ne = n_H(x + abu_c) + n_He(y1 + 2 y2) and re-solves both species until
+the time-averaged fractions converge, mirroring global_pass exactly.
+
+Rate coefficients: helium recombination uses the hydrogenic case-B
+scaling alpha_HeIII(T) = 2 alpha_B(T/4) from the configured hydrogen
+coefficients (bh00, albpow), alpha_HeII a separate power law (default
+2.72e-13 (T/1e4)^-0.789); collisional ionization uses the Cen (1992)
+sqrt(T) exp(-E/kT) forms. Secondary ionizations and on-the-spot
+He->H photon recycling are NOT modeled (documented scope).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EPSILON
+from .chemistry import (ChemistryParams, doric, MIN_FRACTIONAL_CHANGE,
+                        MIN_FRACTION_OF_ATOMS, MAX_INNER_ITER)
+
+__all__ = ["HeChemistryParams", "he_update", "global_pass_he"]
+
+
+class HeChemistryParams(NamedTuple):
+    chem: ChemistryParams          # hydrogen coefficients (doric)
+    abu_he: float                  # n_He / n_H
+    bhe00: float = 2.72e-13        # alpha_HeII at 1e4 K
+    alhepow: float = -0.789        # its T power law
+    colhe0: float = 2.38e-11       # C_HeI prefactor (Cen 1992)
+    temphe0: float = 285335.4      # HeI ionization energy / k_B
+    colhe1: float = 5.68e-12       # C_HeII prefactor (Cen 1992)
+    temphe1: float = 631515.0      # HeII ionization energy / k_B
+
+
+def _expm2(A11, A12, A21, A22, b1, b2, u1, u2, dt):
+    """Exact solution + time average of du/dt = A u + b over dt for a
+    batch of 2x2 systems with real eigenvalues (clamped discriminant).
+
+    Returns (u(dt), <u>)."""
+    tr = A11 + A22
+    det = A11 * A22 - A12 * A21
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+    l1 = 0.5 * (tr + disc)
+    l2 = 0.5 * (tr - disc)
+
+    # equilibrium u_eq = -A^-1 b (det > 0 for the physical chain; guard)
+    safe_det = jnp.where(jnp.abs(det) < 1e-300, 1.0, det)
+    ue1 = -(A22 * b1 - A12 * b2) / safe_det
+    ue2 = -(-A21 * b1 + A11 * b2) / safe_det
+
+    d1 = u1 - ue1
+    d2 = u2 - ue2
+
+    # spectral projectors: P1 = (A - l2 I)/(l1 - l2), P2 = I - P1
+    sep = l1 - l2
+    degen = jnp.abs(sep) < 1e-30 * (jnp.abs(l1) + jnp.abs(l2) + 1e-300)
+    inv_sep = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, sep))
+
+    def apply_P1(v1, v2):
+        return (((A11 - l2) * v1 + A12 * v2) * inv_sep,
+                (A21 * v1 + (A22 - l2) * v2) * inv_sep)
+
+    p1_1, p1_2 = apply_P1(d1, d2)
+    p2_1 = d1 - p1_1
+    p2_2 = d2 - p1_2
+
+    e1 = jnp.exp(l1 * dt)
+    e2 = jnp.exp(l2 * dt)
+
+    def phi(z):
+        # (e^z - 1)/z, -> 1 as z -> 0 (cancellation-safe via expm1)
+        small = jnp.abs(z) < 1e-8
+        zs = jnp.where(small, 1.0, z)
+        return jnp.where(small, 1.0 + 0.5 * z, jnp.expm1(zs) / zs)
+
+    f1 = phi(l1 * dt)
+    f2 = phi(l2 * dt)
+
+    # degenerate (l1 == l2) fallback: e^{At} = e^{l t}(I + (A - l I) t)
+    def degen_pair(v1, v2):
+        n1 = (A11 - l1) * v1 + A12 * v2
+        n2 = A21 * v1 + (A22 - l1) * v2
+        ut1 = e1 * (v1 + dt * n1)
+        ut2 = e1 * (v2 + dt * n2)
+        # avg of e^{As}(v + s n): f1*v + (e - f1)/l * n  (l != 0 branch);
+        # l ~ 0: v + dt n / 2
+        lz = jnp.abs(l1 * dt) < 1e-8
+        g = jnp.where(lz, 0.5 * dt, (e1 - f1) / jnp.where(lz, 1.0, l1))
+        ua1 = f1 * v1 + g * n1
+        ua2 = f1 * v2 + g * n2
+        return ut1, ut2, ua1, ua2
+
+    ut1 = ue1 + e1 * p1_1 + e2 * p2_1
+    ut2 = ue2 + e1 * p1_2 + e2 * p2_2
+    ua1 = ue1 + f1 * p1_1 + f2 * p2_1
+    ua2 = ue2 + f1 * p1_2 + f2 * p2_2
+
+    dt1, dt2, da1, da2 = degen_pair(d1, d2)
+    ut1 = jnp.where(degen, ue1 + dt1, ut1)
+    ut2 = jnp.where(degen, ue2 + dt2, ut2)
+    ua1 = jnp.where(degen, ue1 + da1, ua1)
+    ua2 = jnp.where(degen, ue2 + da2, ua2)
+    return ut1, ut2, ua1, ua2
+
+
+def _clamp_pair(y1, y2, dtype):
+    eps = jnp.asarray(EPSILON, dtype)
+    y1 = jnp.clip(y1, eps, 1.0)
+    y2 = jnp.clip(y2, 0.0, 1.0)
+    tot = y1 + y2
+    scale = jnp.where(tot > 1.0, (1.0 - eps) / jnp.where(tot > 1.0, tot, 1.0),
+                      1.0)
+    return y1 * scale, y2 * scale
+
+
+def he_update(y1, y2, dt, temp, ne, g_he1, g_he2, p: HeChemistryParams):
+    """One frozen-rate helium update: returns (y1_t, y2_t, y1_av, y2_av)."""
+    dtype = jnp.result_type(y1, temp)
+    sq = jnp.sqrt(temp)
+    damp = 1.0 / (1.0 + jnp.sqrt(temp / 1.0e5))       # Cen 1992 damping
+    c1 = p.colhe0 * sq * jnp.exp(-p.temphe0 / temp) * damp
+    c2 = p.colhe1 * sq * jnp.exp(-p.temphe1 / temp) * damp
+    a2 = p.bhe00 * (temp / 1.0e4) ** p.alhepow
+    # hydrogenic scaling for HeIII -> HeII case-B recombination
+    a3 = 2.0 * p.chem.bh00 * (temp / 4.0e4) ** p.chem.albpow
+    a3 = a3 * p.chem.clumping
+    a2 = a2 * p.chem.clumping
+
+    G1 = g_he1 + ne * c1
+    G2 = g_he2 + ne * c2
+    R2 = ne * a2
+    R3 = ne * a3
+
+    A11 = -(G1 + G2 + R2)
+    A12 = -G1 + R3
+    A21 = G2
+    A22 = -R3
+    y1t, y2t, y1a, y2a = _expm2(A11, A12, A21, A22, G1,
+                                jnp.zeros_like(G1), y1, y2, dt)
+    y1t, y2t = _clamp_pair(y1t, y2t, dtype)
+    y1a, y2a = _clamp_pair(y1a, y2a, dtype)
+    return y1t, y2t, y1a, y2a
+
+
+@partial(jax.jit, static_argnames=())
+def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
+                   phi_h, phi_he1, phi_he2, p: HeChemistryParams):
+    """Coupled H+He chemistry pass (elementwise over any shape).
+
+    ndens is the HYDROGEN number density; n_He = abu_he * ndens.
+    Returns (xh_t, xh_av, y1_t, y1_av, y2_t, y2_av, conv_flag)."""
+    chem = p.chem
+    nhe = p.abu_he * ndens
+    xh_av_entry = xh_av
+
+    def cond(state):
+        active, nit = state[-2], state[-1]
+        return jnp.logical_and(nit < MAX_INNER_ITER, jnp.any(active))
+
+    def body(state):
+        (xav, xint, y1av, y1int, y2av, y2int, active, nit) = state
+        ne = ndens * (xav + chem.abu_c) + nhe * (y1av + 2.0 * y2av)
+        xh_new, xh_av_new = doric(xh, dt, temp, ne, phi_h, chem)
+        y1t, y2t, y1a, y2a = he_update(y1, y2, dt, temp, ne,
+                                       phi_he1, phi_he2, p)
+        relx = jnp.abs((xh_av_new - xav) / (1.0 - xh_av_new))
+        rel1 = jnp.abs(y1a - y1av) / jnp.maximum(y1a, 1e-10)
+        rel2 = jnp.abs(y2a - y2av) / jnp.maximum(y2a, 1e-10)
+        done = jnp.logical_or(relx < MIN_FRACTIONAL_CHANGE,
+                              (1.0 - xh_av_new) < MIN_FRACTION_OF_ATOMS)
+        he_done = (rel1 < MIN_FRACTIONAL_CHANGE) \
+            & (rel2 < MIN_FRACTIONAL_CHANGE)
+        # with no helium the He fractions must not gate the iteration
+        # (exact reduction to the H-only global_pass)
+        done = done & jnp.where(jnp.asarray(p.abu_he) > 0.0, he_done, True)
+        upd = lambda new, old: jnp.where(active, new, old)
+        return (upd(xh_av_new, xav), upd(xh_new, xint),
+                upd(y1a, y1av), upd(y1t, y1int),
+                upd(y2a, y2av), upd(y2t, y2int),
+                active & ~done, nit + 1)
+
+    active0 = jnp.ones(xh.shape, dtype=bool)
+    (xav_f, xint_f, y1av_f, y1int_f, y2av_f, y2int_f, _, _) = \
+        jax.lax.while_loop(cond, body,
+                           (xh_av, xh, y1_av, y1, y2_av, y2,
+                            active0, jnp.int32(0)))
+
+    yh_entry = 1.0 - xh_av_entry
+    delta = xav_f - xh_av_entry
+    not_conv = ((jnp.abs(delta) > MIN_FRACTIONAL_CHANGE)
+                & (jnp.abs(delta / yh_entry) > MIN_FRACTIONAL_CHANGE)
+                & (yh_entry > MIN_FRACTION_OF_ATOMS))
+    conv_flag = jnp.sum(not_conv.astype(jnp.int32))
+    return (xint_f, xav_f, y1int_f, y1av_f, y2int_f, y2av_f, conv_flag)

@@ -1,0 +1,98 @@
+"""Multi-species (H + He) spectral bins — the helium extension.
+
+Helium radiative transfer is declared TODO in the reference
+(README.md:81-87: "multi-frequency", "helium"); the reference's surface
+is hydrogen-only with a single band. The spectral-bin formulation
+(spectral_bins.py) generalizes naturally: the band [nu_HI, 10 nu_HeII]
+splits at the HeI (24.587 eV) and HeII (54.416 eV) ionization edges
+into three sub-bands, each discretized with Gauss-Legendre nodes, and
+every node carries the cross sections of ALL species present at that
+frequency. Per cell and bin e the composite optical depth is
+
+    tau_e = N_HI sig_HI(nu_e) + N_HeI sig_HeI(nu_e) + N_HeII sig_HeII(nu_e)
+
+and the photons absorbed in a cell are shared between species by their
+opacity fraction dtau_s/dtau (the standard photon-conserving
+multi-species treatment, e.g. Friedrich et al. 2012 for C2Ray-He).
+
+Cross sections use the same power-law family the reference applies to
+hydrogen (sigma(nu) = sigma_th (nu/nu_th)^-pl, blackbody.py:46-50,
+parameters.yml cross_section_pl_index), with species thresholds and
+slopes configurable; defaults are threshold values sigma_th(HI, HeI,
+HeII) = (6.30e-18, 7.42e-18, 1.58e-18) cm^2 and slopes (2.8, 1.7, 2.8)
+— the HeI slope is shallower near threshold. A future refinement can
+swap in Verner et al. (1996) fits without changing any consumer.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..constants import hplanck, ev2fr, S_STAR_REF
+
+__all__ = ["HE_EDGES_EV", "SIGMA_TH", "HeSpectralBins",
+           "make_spectral_bins_he", "cross_section"]
+
+# ionization thresholds (eV) and threshold cross sections (cm^2)
+HE_EDGES_EV = (13.598, 24.587, 54.416)
+SIGMA_TH = (6.30e-18, 7.42e-18, 1.58e-18)
+DEFAULT_PL = (2.8, 1.7, 2.8)
+
+
+def cross_section(nu, species, pl=None):
+    """sigma_s(nu) in cm^2 (0 below threshold)."""
+    pl = DEFAULT_PL[species] if pl is None else pl
+    nu_th = ev2fr * HE_EDGES_EV[species]
+    nu = np.asarray(nu, dtype=np.float64)
+    return np.where(nu >= nu_th,
+                    SIGMA_TH[species] * (nu / nu_th) ** (-pl), 0.0)
+
+
+class HeSpectralBins(NamedTuple):
+    """(E,) arrays over all bins of the three sub-bands."""
+    s: np.ndarray          # (3, E) sigma_s(nu_e)/sigma_th_s  (0 below edge)
+    w_photo: np.ndarray    # (E,) photon weights / S_star
+    w_heat: np.ndarray     # (3, E) heating weights (erg)/S_star per species
+    num_bins: int
+    sigma_th: tuple        # (3,) threshold cross sections (cm^2)
+
+
+def make_spectral_bins_he(source, S_star_ref=S_STAR_REF,
+                          panels_per_band=6, nodes=8, pl=DEFAULT_PL,
+                          freq_max=None):
+    """Three-band multi-species bins for a normalized source.
+
+    ``source`` follows radiation.BlackBodySource's interface; its SED is
+    normalized so the FULL band [nu_HI, freq_max] integrates to
+    S_star_ref photons/s (same convention as the H-only bins)."""
+    edges_nu = [ev2fr * e for e in HE_EDGES_EV]
+    if freq_max is None:
+        freq_max = 10 * edges_nu[2]
+    source.normalize_SED(edges_nu[0], freq_max, S_star_ref)
+    xg, wg = np.polynomial.legendre.leggauss(nodes)
+
+    nu, W = [], []
+    band_edges = edges_nu + [freq_max]
+    for b in range(3):
+        lo, hi = np.log(band_edges[b]), np.log(band_edges[b + 1])
+        sub = np.linspace(lo, hi, panels_per_band + 1)
+        for p in range(panels_per_band):
+            a, c = sub[p], sub[p + 1]
+            xm = 0.5 * (a + c) + 0.5 * (c - a) * xg
+            nu_p = np.exp(xm)
+            nu.append(nu_p)
+            W.append(0.5 * (c - a) * wg * nu_p)
+    nu = np.concatenate(nu)
+    W = np.concatenate(W)
+
+    sed = np.array([source.SED(f) for f in nu])
+    w_photo = W * sed / S_star_ref
+    s = np.zeros((3, nu.shape[0]))
+    w_heat = np.zeros((3, nu.shape[0]))
+    for sp in range(3):
+        sig = cross_section(nu, sp, pl[sp])
+        s[sp] = sig / SIGMA_TH[sp]
+        w_heat[sp] = w_photo * hplanck * np.maximum(
+            nu - edges_nu[sp], 0.0)
+    return HeSpectralBins(s=s, w_photo=w_photo, w_heat=w_heat,
+                          num_bins=nu.shape[0], sigma_th=SIGMA_TH)

@@ -1,0 +1,147 @@
+"""Helium chemistry tests: the 2x2 exact solver against dense numerical
+integration, physical limits, and exact reduction to the H-only pass."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyc2ray_tpu.ops.chemistry import ChemistryParams, global_pass
+from pyc2ray_tpu.ops.chemistry_he import (HeChemistryParams, _expm2,
+                                          he_update, global_pass_he)
+
+CHEM = ChemistryParams(bh00=2.59e-13, albpow=-0.7,
+                       colh0=1.3e-8 * 0.83 / (13.598 ** 2),
+                       temph0=13.598 / 8.617e-05, abu_c=7.1e-7)
+PHE = HeChemistryParams(chem=CHEM, abu_he=0.074)
+
+
+def _dense_reference(A, b, u0, dt, nstep=200000):
+    """Dense RK4 integration of du/dt = A u + b; returns (u(dt), <u>)."""
+    h = dt / nstep
+    u = u0.copy()
+    acc = np.zeros_like(u0)
+    for _ in range(nstep):
+        k1 = A @ u + b
+        k2 = A @ (u + 0.5 * h * k1) + b
+        k3 = A @ (u + 0.5 * h * k2) + b
+        k4 = A @ (u + h * k3) + b
+        acc += h * (u + (h / 6) * (k1 + 2 * k2 + 2 * k3 + k4)) / dt * 0 \
+            + h * u / dt  # left Riemann on the fine grid
+        u = u + (h / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+    return u, acc
+
+
+def test_expm2_matches_dense():
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        # random stable compartmental-like system
+        G1, G2, R2, R3 = 10 ** rng.uniform(-3, 1, 4)
+        A = np.array([[-(G1 + G2 + R2), -G1 + R3], [G2, -R3]])
+        b = np.array([G1, 0.0])
+        u0 = rng.uniform(0, 0.5, 2)
+        dt = 10 ** rng.uniform(-1, 1)
+        ut, ua = _dense_reference(A, b, u0, dt)
+        jt1, jt2, ja1, ja2 = _expm2(
+            *[jnp.asarray(v) for v in
+              (A[0, 0], A[0, 1], A[1, 0], A[1, 1], b[0], b[1],
+               u0[0], u0[1])], jnp.asarray(dt))
+        np.testing.assert_allclose([float(jt1), float(jt2)], ut, rtol=1e-8)
+        np.testing.assert_allclose([float(ja1), float(ja2)], ua,
+                                   rtol=1e-4)  # Riemann avg is O(h)
+
+
+def test_he_update_limits():
+    T = jnp.full((3,), 1.0e4)
+    ne = jnp.full((3,), 1e-3)
+    y1 = jnp.asarray([0.1, 0.1, 0.0])
+    y2 = jnp.asarray([0.05, 0.05, 0.0])
+    # no radiation, long time: recombination drives y -> ~0
+    y1t, y2t, _, _ = he_update(y1, y2, 1e25, T, ne,
+                               jnp.zeros(3), jnp.zeros(3), PHE)
+    assert float(y1t.max()) < 1e-2 or float(y1t[2]) < 1e-2
+    assert float(y2t.max()) < 1e-3
+    # overwhelming HeII photoionization: everything -> HeIII
+    y1t, y2t, _, _ = he_update(y1, y2, 1e20, T, ne,
+                               jnp.full((3,), 1e-6), jnp.full((3,), 1e-6),
+                               PHE)
+    assert float(y2t.min()) > 0.99
+    # bounds always hold
+    assert float((y1t + y2t).max()) <= 1.0 + 1e-12
+
+
+def test_he_equilibrium_fixed_point():
+    """Starting at the analytic equilibrium, the update stays there."""
+    T = jnp.full((1,), 2e4)
+    ne = jnp.full((1,), 1e-3)
+    g1, g2 = 1e-12, 3e-13
+    # compute u_eq by solving A u = -b densely
+    import numpy.linalg as la
+    damp = 1.0 / (1.0 + np.sqrt(2e4 / 1e5))
+    c1 = PHE.colhe0 * np.sqrt(2e4) * np.exp(-PHE.temphe0 / 2e4) * damp
+    c2 = PHE.colhe1 * np.sqrt(2e4) * np.exp(-PHE.temphe1 / 2e4) * damp
+    a2 = PHE.bhe00 * (2e4 / 1e4) ** PHE.alhepow
+    a3 = 2 * CHEM.bh00 * (2e4 / 4e4) ** CHEM.albpow
+    G1, G2 = g1 + 1e-3 * c1, g2 + 1e-3 * c2
+    R2, R3 = 1e-3 * a2, 1e-3 * a3
+    A = np.array([[-(G1 + G2 + R2), -G1 + R3], [G2, -R3]])
+    ueq = la.solve(A, [-G1, 0.0])
+    y1t, y2t, y1a, y2a = he_update(
+        jnp.asarray([ueq[0]]), jnp.asarray([ueq[1]]), 1e16, T, ne,
+        jnp.full((1,), g1), jnp.full((1,), g2), PHE)
+    np.testing.assert_allclose(float(y1t[0]), ueq[0], rtol=1e-10)
+    np.testing.assert_allclose(float(y2t[0]), ueq[1], rtol=1e-10)
+    np.testing.assert_allclose(float(y1a[0]), ueq[0], rtol=1e-10)
+
+
+def test_global_pass_he_reduces_to_hydrogen():
+    """abu_he = 0 and zero He state/rates: xh must match the H-only
+    global_pass exactly (same iteration, same ne)."""
+    rng = np.random.RandomState(5)
+    n = 500
+    ndens = 10 ** rng.uniform(-4, -2, n)
+    temp = 10 ** rng.uniform(2, 4.5, n)
+    xh = rng.uniform(1e-4, 0.9, n)
+    phi = 10 ** rng.uniform(-14, -9, n)
+    dt = 3e13
+    args = [jnp.asarray(v) for v in (ndens, temp, xh, xh, phi)]
+    xi_h, xav_h, cf_h = global_pass(dt, args[0], args[1], args[2],
+                                    args[3], args[4], CHEM)
+    z = jnp.zeros(n)
+    p0 = PHE._replace(abu_he=0.0)
+    out = global_pass_he(dt, args[0], args[1], args[2], args[3],
+                         z, z, z, z, args[4], z, z, p0)
+    xi, xav = out[0], out[1]
+    np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_h), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(xav), np.asarray(xav_h),
+                               rtol=1e-13)
+    assert int(out[6]) == int(cf_h)
+
+
+def test_global_pass_he_full_coupling():
+    """With He present the pass converges, conserves bounds, and the
+    electron feedback changes xh vs the He-free case."""
+    rng = np.random.RandomState(7)
+    n = 300
+    ndens = 10 ** rng.uniform(-4, -2, n)
+    temp = 10 ** rng.uniform(3.5, 4.5, n)
+    xh = rng.uniform(1e-3, 0.5, n)
+    y1 = rng.uniform(1e-3, 0.3, n)
+    y2 = rng.uniform(0.0, 0.2, n)
+    phi = 10 ** rng.uniform(-13, -10, n)
+    g1 = 10 ** rng.uniform(-14, -11, n)
+    g2 = 10 ** rng.uniform(-16, -13, n)
+    dt = 3e13
+    a = [jnp.asarray(v) for v in
+         (ndens, temp, xh, xh, y1, y1, y2, y2, phi, g1, g2)]
+    out = global_pass_he(dt, *a, PHE)
+    xi, xav, y1i, y1a, y2i, y2a, cf = [np.asarray(o) for o in out]
+    for arr in (xi, xav):
+        assert np.all(arr > 0) and np.all(arr <= 1.0)
+    assert np.all(y1i >= 0) and np.all(y2i >= 0)
+    assert np.all(y1i + y2i <= 1.0 + 1e-12)
+    assert np.all(np.isfinite(y1a + y2a))
+    # coupling check: He electrons shift the hydrogen solution
+    p0 = PHE._replace(abu_he=0.0)
+    z = jnp.zeros(n)
+    out0 = global_pass_he(dt, a[0], a[1], a[2], a[3], z, z, z, z,
+                          a[8], z, z, p0)
+    assert not np.allclose(xi, np.asarray(out0[0]), rtol=1e-6)
