@@ -19,7 +19,7 @@ from .ops.chemistry import ChemistryParams, global_pass
 from .ops.raytrace import Raytracer
 from .utils.logutils import printlog
 
-__all__ = ["evolve3D", "EvolveResult"]
+__all__ = ["evolve3D", "evolve3D_he", "EvolveResult"]
 
 
 def evolve3D(dt, dr, src_flux, src_pos, raytracer,
@@ -130,6 +130,73 @@ def evolve3D(dt, dr, src_flux, src_pos, raytracer,
                 np.asarray(phi_ion).reshape(shape3), temp_np)
     return (np.asarray(xh_intermed).reshape(shape3),
             np.asarray(phi_ion).reshape(shape3))
+
+
+def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
+                temp, ndens, xh, y1, y2, convergence_fraction=1e-4,
+                logfile=None, quiet=False, max_iterations=100):
+    """Coupled H+He evolve loop (beyond reference: helium is declared
+    TODO there, README.md:81-87).
+
+    Same convergence structure as evolve3D, but the raytracer is a
+    three-species ops.raytrace_he.HeRaytracer and the chemistry is the
+    coupled ops.chemistry_he.global_pass_he. Convergence is tested on
+    the hydrogen field (the reference criterion) — helium shares the
+    iteration through the electron density.
+
+    Returns (xh, phi_HI, y1, y2, phi_HeI, phi_HeII), all (N,N,N).
+    """
+    from .ops.chemistry_he import global_pass_he
+
+    N = raytracer.N
+    num_cells = N ** 3
+    num_src = int(np.asarray(src_flux).shape[0])
+    conv_criterion = min(int(convergence_fraction * num_cells),
+                         (num_src - 1) / 3)
+    dtype = raytracer.dtype
+    sh3 = (N, N, N)
+    as3 = lambda a: jnp.asarray(np.asarray(a), dtype).reshape(sh3)
+    temp_d, ndens_d = as3(temp), as3(ndens)
+    xh_d, y1_d, y2_d = as3(xh), as3(y1), as3(y2)
+    xh_av, y1_av, y2_av = xh_d, y1_d, y2_d
+    xh_int, y1_int, y2_int = xh_d, y1_d, y2_d
+    pos_b, flux_b = raytracer.prepare_sources(src_pos, src_flux)
+    dr_d = jnp.asarray(dr, dtype)
+    dt_d = jnp.asarray(dt, dtype)
+
+    prev1 = prev0 = 2.0 * num_cells
+    converged = False
+    niter = 0
+    printlog(f"Calling evolve3D_he (H+He) on {num_src:n} source(s)...",
+             logfile, quiet)
+    g = (None,) * 3
+    while not converged and niter < max_iterations:
+        niter += 1
+        t0 = time.time()
+        g = raytracer._trace_jit(raytracer.eng.tables, raytracer.he_tables,
+                                 ndens_d, xh_av, y1_av, y2_av,
+                                 pos_b, flux_b, dr_d)
+        printlog(f"Raytracing (3 species) took {time.time()-t0:.3f} s.",
+                 logfile, quiet)
+        t0 = time.time()
+        (xh_int, xh_av, y1_int, y1_av, y2_int, y2_av,
+         conv_flag) = global_pass_he(
+            dt_d, ndens_d, temp_d, xh_d, xh_av,
+            y1_d, y1_av, y2_d, y2_av, g[0], g[1], g[2], phe)
+        sum1 = float(jnp.sum(xh_int))
+        sum0 = float(jnp.sum(1.0 - xh_int))
+        conv_flag = int(conv_flag)
+        printlog(f"Chemistry (H+He) took {time.time()-t0:.3f} s; "
+                 f"non-converged: {conv_flag}", logfile, quiet)
+        rel1 = abs((sum1 - prev1) / sum1) if sum1 > 0 else 1.0
+        rel0 = abs((sum0 - prev0) / sum0) if sum0 > 0 else 1.0
+        converged = (conv_flag < conv_criterion) or (
+            (rel1 < convergence_fraction) and (rel0 < convergence_fraction))
+        prev1, prev0 = sum1, sum0
+
+    return (np.asarray(xh_int).reshape(sh3), np.asarray(g[0]).reshape(sh3),
+            np.asarray(y1_int).reshape(sh3), np.asarray(y2_int).reshape(sh3),
+            np.asarray(g[1]).reshape(sh3), np.asarray(g[2]).reshape(sh3))
 
 
 class EvolveResult:

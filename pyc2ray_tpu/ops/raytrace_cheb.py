@@ -204,7 +204,7 @@ class ChebRaytracer:
         cd = cd + jnp.transpose(fold(Z), (0, 2, 3, 1))    # (B, k, i, j) -> T
         return cd.at[:, c, c, c].set(src_cd)
 
-    def _sweep_pallas(self, tb, nhi_box, dr, fuse_rates=False):
+    def _sweep_pallas(self, tb, nhi_box, dr, fuse_rates=False, sig=None):
         """Sweep via the monolithic Pallas kernel (pallas_sweep.py).
 
         With fuse_rates the kernel also evaluates the spectral-bin rate
@@ -226,7 +226,8 @@ class ChebRaytracer:
             (B, g.Dc, 2 * g.Dc)).astype(self.dtype)
         X, Y, Z = cheb_sweep_pallas(
             tb.geom_packed, nx, ny, nz, dr, init_plane,
-            B=B, Dc=g.Dc, R1=g.r_max + 1, c=g.c, sig=self.sig,
+            B=B, Dc=g.Dc, R1=g.r_max + 1, c=g.c,
+            sig=(self.sig if sig is None else float(sig)),
             bins=self._bins_static if fuse_rates else None,
             R2=self.R_max_LLS ** 2,
             interpret=self._pallas_interpret)
@@ -247,7 +248,7 @@ class ChebRaytracer:
                              - 3.0 * jnp.log(dr))
         return flux * s_over_dr3 * acc / nhi_src
 
-    def _sweep(self, tb, nhi_box, dr):
+    def _sweep(self, tb, nhi_box, dr, sig=None):
         """Cube-shell sweep; returns cd (B, Dc, Dc, Dc) coldensh_out.
 
         All sweep state lives in three per-shell face stacks with the
@@ -273,7 +274,7 @@ class ChebRaytracer:
         """
         g = self.geom
         dt = self.dtype
-        sig = jnp.asarray(self.sig, dt)
+        sig = jnp.asarray(self.sig if sig is None else sig, dt)
         B = nhi_box.shape[0]
         c = g.c
         Dc = g.Dc

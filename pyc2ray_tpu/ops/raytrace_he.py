@@ -1,0 +1,181 @@
+"""Multi-species (HI / HeI / HeII) raytracer — the helium extension.
+
+Helium RT is declared TODO in the reference (README.md:81-87). Design:
+the Chebyshev-face sweep is species-agnostic — a column-density sweep of
+ANY absorber field with its own threshold cross section entering the
+short-characteristics interpolation weights (1/max(0.6, cd*sigma),
+raytracing.f90:807-813). So the He engine runs THREE sweeps per batch
+(one per species, reusing the whole single-species machinery including
+the Pallas kernel, each compiled with its sigma_th), and couples the
+species only in the RATE pass, where the composite optical depth per
+spectral bin e is
+
+    tau_e = sum_s N_s sigma_s(nu_e)
+
+and the photons absorbed in a cell are shared between species by
+opacity fraction dtau_s/dtau — photon-conserving by construction
+(summed over species, the absorbed rate equals the reference's
+single-species form with the composite tau).
+
+Cost: ~3x the sweeps + a 3-band bin sum (radiation/helium.py) vs the
+hydrogen-only engine.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import S_STAR_REF, MAX_COLDENSH
+from ..radiation.helium import HeSpectralBins
+from .raytrace_cheb import ChebRaytracer
+
+__all__ = ["HeRaytracer", "HeBinTables"]
+
+FOURPI = 12.566370614359172463991853874177
+
+
+class HeBinTables(NamedTuple):
+    s: object          # (3, E)
+    w: object          # (E,)
+    w_heat: object     # (3, E)
+    sigma_th: object   # (3,)
+
+
+class HeRaytracer:
+    """Batched multi-source, three-species raytracer.
+
+    trace(nd, xh, y1, y2, pos, flux, dr) -> (G_HI, G_HeI, G_HeII),
+    each (N,N,N) per-atom photoionization rates."""
+
+    def __init__(self, N, R_max_LLS, bins: HeSpectralBins, abu_he,
+                 batch_size=8, dtype=jnp.float32, use_pallas=False):
+        from ..radiation.spectral_bins import SpectralBins
+        self.abu_he = float(abu_he)
+        self.bins = bins
+        st = bins.sigma_th
+        # the host engine supplies geometry, sweeps and box machinery;
+        # its own (H-only) bins/rates are never used here
+        placeholder = SpectralBins(s=np.ones(1), w_photo=np.ones(1),
+                                   w_heat=np.zeros(1), num_bins=1)
+        self.eng = ChebRaytracer(N, R_max_LLS, st[0], placeholder,
+                                 batch_size=batch_size, dtype=dtype,
+                                 use_pallas=use_pallas)
+        self.N = self.eng.N
+        self.batch_size = self.eng.batch_size
+        self.dtype = dtype
+        self.sigma_th = tuple(float(v) for v in st)
+        self.he_tables = HeBinTables(
+            s=jnp.asarray(bins.s, dtype),
+            w=jnp.asarray(bins.w_photo, dtype),
+            w_heat=jnp.asarray(bins.w_heat, dtype),
+            sigma_th=jnp.asarray(st, dtype))
+        self._trace_jit = jax.jit(self._trace_impl)
+
+    def prepare_sources(self, src_pos, src_flux):
+        return self.eng.prepare_sources(src_pos, src_flux)
+
+    # ------------------------------------------------------------------
+    def _rates_he(self, tb, heb, cds, nboxes, flux, dr):
+        """Multi-species rate pass over the box.
+
+        cds / nboxes: tuples of 3 arrays (B, Dc, Dc, Dc)."""
+        g = self.eng.geom
+        dt = self.dtype
+        sig_th = [jnp.asarray(s, dt) for s in self.sigma_th]
+        path = tb.path3[None] * dr
+
+        dcol = [nboxes[s] * path for s in range(3)]
+        cdin = [cds[s] - dcol[s] for s in range(3)]
+
+        c = g.c
+        i3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 0)
+        j3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 1)
+        k3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 2)
+        is_src = ((i3 == c) & (j3 == c) & (k3 == c))[None]
+        s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
+                             - 3.0 * jnp.log(dr))
+        geom_fact = jnp.where(
+            is_src, 1.0, 1.0 / (tb.dist2[None] * tb.path3[None] * FOURPI))
+        prefact = flux[:, None, None, None] * s_over_dr3 * geom_fact
+
+        tiny = jnp.asarray(1e-30 if dt == jnp.float32 else 1e-280, dt)
+        acc = [jnp.zeros_like(cds[0]) for _ in range(3)]
+        E = int(self.bins.num_bins)
+        for e in range(E):
+            tau_in = jnp.zeros_like(cds[0])
+            dtau_s = []
+            for s in range(3):
+                se = heb.s[s, e] * sig_th[s]
+                tau_in = tau_in + cdin[s] * se
+                dtau_s.append(dcol[s] * se)
+            dtau = dtau_s[0] + dtau_s[1] + dtau_s[2]
+            absorbed = heb.w[e] * jnp.exp(-tau_in) * (-jnp.expm1(-dtau))
+            inv = absorbed / jnp.maximum(dtau, tiny)
+            for s in range(3):
+                acc[s] = acc[s] + inv * dtau_s[s]
+
+        R2 = jnp.asarray(self.eng.R_max_LLS ** 2, dt)
+        mask = (tb.rate_valid[None]
+                & (cdin[0] <= jnp.asarray(MAX_COLDENSH, dt))
+                & (tb.dist2[None] <= R2))
+        out = []
+        for s in range(3):
+            gam = prefact * acc[s] / jnp.maximum(nboxes[s], tiny)
+            out.append(jnp.where(mask & (nboxes[s] > 0), gam, 0.0))
+        return out
+
+    # ------------------------------------------------------------------
+    def _trace_impl(self, tb, heb, nd3, xh3, y13, y23, pos_b, flux_b, dr):
+        eng = self.eng
+        g = eng.geom
+        padL, padR = g.c, g.Dc - 1 - g.c
+        abu = jnp.asarray(self.abu_he, self.dtype)
+        fields = (nd3 * (1.0 - xh3),                    # HI
+                  abu * nd3 * (1.0 - y13 - y23),        # HeI
+                  abu * nd3 * y13)                      # HeII
+        pads = [jnp.pad(f, ((padL, padR),) * 3, mode="wrap")
+                for f in fields]
+        phi0 = [jnp.zeros(pads[0].shape, self.dtype) for _ in range(3)]
+
+        def batch_step(b, phis):
+            z32 = jnp.zeros((), jnp.int32)
+            pos = lax.dynamic_slice(pos_b, (b.astype(jnp.int32), z32, z32),
+                                    (1,) + pos_b.shape[1:])[0]
+            flux = lax.dynamic_slice(flux_b, (b.astype(jnp.int32), z32),
+                                     (1,) + flux_b.shape[1:])[0]
+            boxes = [eng._extract_boxes(p, pos) for p in pads]
+            sweep = eng._sweep_pallas if eng.use_pallas else eng._sweep
+            cds = [sweep(tb, boxes[s], dr, sig=self.sigma_th[s])
+                   for s in range(3)]
+            gam = self._rates_he(tb, heb, cds, boxes, flux, dr)
+
+            def accum(pad, boxes_v):
+                def one(i, p_acc):
+                    i32 = i.astype(jnp.int32)
+                    pv = lax.dynamic_slice(pos, (i32, z32), (1, 3))[0]
+                    box = lax.dynamic_slice(
+                        boxes_v, (i32, z32, z32, z32),
+                        (1,) + boxes_v.shape[1:])[0]
+                    cur = lax.dynamic_slice(
+                        p_acc, (pv[0], pv[1], pv[2]), (g.Dc,) * 3)
+                    return lax.dynamic_update_slice(
+                        p_acc, cur + box, (pv[0], pv[1], pv[2]))
+                return lax.fori_loop(0, pos.shape[0], one, pad)
+
+            return tuple(accum(phis[s], gam[s]) for s in range(3))
+
+        phis = lax.fori_loop(0, pos_b.shape[0], batch_step, tuple(phi0))
+        return tuple(eng._fold_padding(p) for p in phis)
+
+    def trace(self, ndens, xh, y1, y2, src_pos, src_flux, dr):
+        """Public API: per-atom (Gamma_HI, Gamma_HeI, Gamma_HeII)."""
+        sh = (self.N,) * 3
+        dt = self.dtype
+        args = [jnp.asarray(np.asarray(a), dt).reshape(sh)
+                for a in (ndens, xh, y1, y2)]
+        pos_b, flux_b = self.prepare_sources(src_pos, src_flux)
+        return self._trace_jit(self.eng.tables, self.he_tables, *args,
+                               pos_b, flux_b, jnp.asarray(dr, dt))

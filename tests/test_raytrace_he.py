@@ -1,0 +1,150 @@
+"""Multi-species raytracer tests: exact reduction to the hydrogen-only
+engine, photon conservation across species, and end-to-end He ionization
+structure."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyc2ray_tpu.radiation import BlackBodySource
+from pyc2ray_tpu.radiation.helium import (make_spectral_bins_he,
+                                          cross_section, HE_EDGES_EV,
+                                          SIGMA_TH)
+from pyc2ray_tpu.radiation.spectral_bins import SpectralBins
+from pyc2ray_tpu.ops.raytrace_he import HeRaytracer
+from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer
+from pyc2ray_tpu.constants import ev2fr
+
+DR = 2.0e21
+
+
+def _he_bins(panels=3, nodes=4):
+    bb = BlackBodySource(1e5, False, ev2fr * HE_EDGES_EV[0], 2.8)
+    return make_spectral_bins_he(bb, panels_per_band=panels, nodes=nodes)
+
+
+def test_cross_sections_thresholds():
+    for sp in range(3):
+        nu_th = ev2fr * HE_EDGES_EV[sp]
+        assert abs(cross_section(nu_th, sp) - SIGMA_TH[sp]) < 1e-25
+        assert cross_section(nu_th * 0.999, sp) == 0.0
+        # declining with frequency
+        assert cross_section(2 * nu_th, sp) < SIGMA_TH[sp]
+
+
+def test_he_bins_structure():
+    b = _he_bins()
+    assert b.s.shape == (3, b.num_bins)
+    # species opacity zero below its edge, positive above
+    assert np.all(b.s[1][: b.num_bins // 3] == 0.0)
+    assert np.all(b.s[2][: 2 * (b.num_bins // 3)] == 0.0)
+    assert np.all(b.s[0] > 0)
+    assert np.all(b.w_photo > 0)
+
+
+def test_reduces_to_hydrogen_engine():
+    """abu_he=0: Gamma_HI must equal an H-only ChebRaytracer built from
+    the HI rows of the same bins."""
+    N = 10
+    bins = _he_bins()
+    rng = np.random.RandomState(2)
+    nd = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.9, (N, N, N))
+    src = np.array([[2, 7, 4], [5, 5, 5]])
+    flux = np.array([1.0, 2.0])
+
+    rt_he = HeRaytracer(N, 1e9, bins, abu_he=0.0, batch_size=2,
+                        dtype=jnp.float64)
+    g_hi, g_he1, g_he2 = [np.asarray(v) for v in
+                          rt_he.trace(nd, xh, 0 * xh, 0 * xh,
+                                      src, flux, DR)]
+    assert np.all(g_he1 == 0) and np.all(g_he2 == 0)
+
+    h_bins = SpectralBins(s=bins.s[0], w_photo=bins.w_photo,
+                          w_heat=bins.w_heat[0], num_bins=bins.num_bins)
+    rt_h = ChebRaytracer(N, 1e9, SIGMA_TH[0], h_bins, batch_size=2,
+                         dtype=jnp.float64)
+    g_ref = np.asarray(rt_h.trace(nd, xh, src, flux, DR))
+    np.testing.assert_allclose(g_hi, g_ref, rtol=1e-12)
+
+
+def test_photon_conservation_across_species():
+    """In an opaque uniform medium the total absorption rate
+    sum_cells sum_s Gamma_s n_s dr^3 must equal the emitted rate
+    S_star * flux (photon-conserving split between species)."""
+    N = 24
+    bins = _he_bins()
+    nd = 6e-2 * np.ones((N, N, N))     # opaque even in the hardest bin
+    # (at 1e-2 the hardest ~2e-22 cm^2 bins leak ~0.5% through 12 cells —
+    # physical photon escape, not a conservation error)
+    xh = np.zeros((N, N, N))
+    y1 = 0.1 * np.ones((N, N, N))
+    y2 = np.zeros((N, N, N))
+    src = np.array([[12, 12, 12]])
+    flux = np.array([1.0])
+    abu = 0.074
+    rt = HeRaytracer(N, 1e9, bins, abu_he=abu, batch_size=1,
+                     dtype=jnp.float64)
+    g = [np.asarray(v) for v in rt.trace(nd, xh, y1, y2, src, flux, DR)]
+    n_s = [nd * (1 - xh), abu * nd * (1 - y1 - y2), abu * nd * y1]
+    absorbed = sum((g[s] * n_s[s]).sum() for s in range(3)) * DR ** 3
+    emitted = 1e48 * flux[0]
+    assert abs(absorbed / emitted - 1.0) < 1e-3
+
+
+def test_species_share_follows_opacity():
+    """Near a hard source the HeII ionization rate per atom exceeds the
+    HI rate per atom above the HeII edge... check the simpler invariant:
+    all three species get nonzero rates and HeI per-atom rate > HI
+    per-atom rate close to the source (sigma_HeI > sigma_HI in band 2)."""
+    N = 16
+    bins = _he_bins()
+    nd = 1e-3 * np.ones((N, N, N))
+    xh = np.zeros((N, N, N))
+    y1 = 0.2 * np.ones((N, N, N))
+    y2 = np.zeros((N, N, N))
+    src = np.array([[8, 8, 8]])
+    flux = np.array([1.0])
+    rt = HeRaytracer(N, 1e9, bins, abu_he=0.074, batch_size=1,
+                     dtype=jnp.float64)
+    g = [np.asarray(v) for v in rt.trace(nd, xh, y1, y2, src, flux, DR)]
+    probe = (8, 8, 10)
+    assert g[0][probe] > 0 and g[1][probe] > 0 and g[2][probe] > 0
+    assert g[1][probe] > g[0][probe]
+
+
+def test_evolve_he_front_ordering():
+    """Short coupled evolution: the HeIII region sits inside the HeII
+    region, which sits inside (or equals) the HII region."""
+    from pyc2ray_tpu.evolve import evolve3D_he
+    from pyc2ray_tpu.ops.chemistry import ChemistryParams
+    from pyc2ray_tpu.ops.chemistry_he import HeChemistryParams
+
+    N = 16
+    bins = _he_bins()
+    chem = ChemistryParams(bh00=2.59e-13, albpow=-0.7,
+                           colh0=1.3e-8 * 0.83 / (13.598 ** 2),
+                           temph0=13.598 / 8.617e-05, abu_c=7.1e-7)
+    phe = HeChemistryParams(chem=chem, abu_he=0.074)
+    rt = HeRaytracer(N, 1e9, bins, abu_he=0.074, batch_size=1,
+                     dtype=jnp.float64)
+    nd = 1e-3 * np.ones((N, N, N))
+    temp = 2e4 * np.ones((N, N, N))
+    xh = 1e-3 * np.ones((N, N, N))
+    y1 = 1e-3 * np.ones((N, N, N))
+    y2 = np.zeros((N, N, N))
+    src = np.array([[8, 8, 8]])
+    flux = np.array([20.0])
+    out = evolve3D_he(1.0e13, DR, flux, src, rt, phe, temp, nd,
+                      xh, y1, y2, quiet=True)
+    xh_n, y1_n, y2_n = out[0], out[2], out[3]
+    line = lambda f: np.asarray(f)[8, 8, :]
+    # front radii along a ray (cells with fraction > 0.5)
+    r_h = np.sum(line(xh_n) > 0.5)
+    r_he3 = np.sum(line(y2_n) > 0.5)
+    r_he2 = np.sum(line(y1_n + y2_n) > 0.5)
+    assert r_he3 <= r_he2
+    # for a hard 1e5 K source the HeII front TRACKS the HII front
+    # (sigma_HeI > sigma_HI: it may lead by a cell or two)
+    assert abs(int(r_he2) - int(r_h)) <= 2
+    assert r_he2 > 0                      # helium actually ionized
+    assert np.all(np.isfinite(line(y1_n) + line(y2_n)))
