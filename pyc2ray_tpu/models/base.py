@@ -130,6 +130,11 @@ class C2RaySimulation:
             else:
                 self.xh, self.phi_ion = out
         elif self.mesh is not None:
+            if self.thermal is not None:
+                raise NotImplementedError(
+                    "non-isothermal evolution is not wired into the "
+                    "source-parallel mesh path; use a domain mesh "
+                    "(make_domain_mesh) or run single-device")
             from ..parallel.source_parallel import evolve3D_sharded
             self.xh, self.phi_ion = evolve3D_sharded(
                 dt, self.dr, flux, pos, self.raytracer, self.mesh,

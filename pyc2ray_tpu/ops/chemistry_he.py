@@ -64,70 +64,72 @@ def _expm2(A11, A12, A21, A22, b1, b2, u1, u2, dt):
     """Exact solution + time average of du/dt = A u + b over dt for a
     batch of 2x2 systems with real eigenvalues (clamped discriminant).
 
-    Returns (u(dt), <u>)."""
+    Formulated WITHOUT inverting A (the equilibrium -A^-1 b does not
+    exist when A is singular — e.g. zero electron density makes R3=0 —
+    and a near-zero determinant underflows on TPU):
+
+        u(t)  = exp(At) u0 + t phi1(At) b
+        <u>   = phi1(At) u0 + t phi2(At) b
+
+    with the ENTIRE functions phi1(z) = (e^z-1)/z, phi2(z) =
+    (e^z-1-z)/z^2. Each matrix function f(At) is evaluated in
+    divided-difference form f(l2 t) I + [f(l1 t)-f(l2 t)]/(l1-l2)
+    (At - l2 t I); eigenvalue confluence is regularized by flooring the
+    discriminant at a sqrt(eps)-scale separation (relative error of
+    that nudge is ~sqrt(eps), far below the solver's physical accuracy).
+
+    Returns (u1(dt), u2(dt), <u1>, <u2>)."""
+    dtype = jnp.result_type(A11, u1)
+    eps = jnp.finfo(dtype).eps
     tr = A11 + A22
     det = A11 * A22 - A12 * A21
     disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
-    l1 = 0.5 * (tr + disc)
+    # floor the separation so divided differences stay well-conditioned
+    scale = jnp.abs(tr) + jnp.abs(A12) + jnp.abs(A21) + jnp.asarray(
+        1e-30 if dtype == jnp.float32 else 1e-290, dtype)
+    disc = jnp.maximum(disc, jnp.sqrt(eps) * scale)
+    # the compartmental system is dissipative: eigenvalues <= 0. The
+    # discriminant floor can push l1 marginally positive; clamp so a huge
+    # dt can never produce exp(+large).
+    l1 = jnp.minimum(0.5 * (tr + disc), 0.0)
     l2 = 0.5 * (tr - disc)
 
-    # equilibrium u_eq = -A^-1 b (det > 0 for the physical chain; guard)
-    safe_det = jnp.where(jnp.abs(det) < 1e-300, 1.0, det)
-    ue1 = -(A22 * b1 - A12 * b2) / safe_det
-    ue2 = -(-A21 * b1 + A11 * b2) / safe_det
-
-    d1 = u1 - ue1
-    d2 = u2 - ue2
-
-    # spectral projectors: P1 = (A - l2 I)/(l1 - l2), P2 = I - P1
-    sep = l1 - l2
-    degen = jnp.abs(sep) < 1e-30 * (jnp.abs(l1) + jnp.abs(l2) + 1e-300)
-    inv_sep = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, sep))
-
-    def apply_P1(v1, v2):
-        return (((A11 - l2) * v1 + A12 * v2) * inv_sep,
-                (A21 * v1 + (A22 - l2) * v2) * inv_sep)
-
-    p1_1, p1_2 = apply_P1(d1, d2)
-    p2_1 = d1 - p1_1
-    p2_2 = d2 - p1_2
-
-    e1 = jnp.exp(l1 * dt)
-    e2 = jnp.exp(l2 * dt)
-
-    def phi(z):
-        # (e^z - 1)/z, -> 1 as z -> 0 (cancellation-safe via expm1)
-        small = jnp.abs(z) < 1e-8
+    def phi1(z):
+        small = jnp.abs(z) < 1e-6
         zs = jnp.where(small, 1.0, z)
-        return jnp.where(small, 1.0 + 0.5 * z, jnp.expm1(zs) / zs)
+        return jnp.where(small, 1.0 + 0.5 * z + z * z / 6.0,
+                         jnp.expm1(zs) / zs)
 
-    f1 = phi(l1 * dt)
-    f2 = phi(l2 * dt)
+    def phi2(z):
+        small = jnp.abs(z) < 1e-4
+        zs = jnp.where(small, 1.0, z)
+        return jnp.where(small, 0.5 + z / 6.0 + z * z / 24.0,
+                         (jnp.expm1(zs) - zs) / (zs * zs))
 
-    # degenerate (l1 == l2) fallback: e^{At} = e^{l t}(I + (A - l I) t)
-    def degen_pair(v1, v2):
-        n1 = (A11 - l1) * v1 + A12 * v2
-        n2 = A21 * v1 + (A22 - l1) * v2
-        ut1 = e1 * (v1 + dt * n1)
-        ut2 = e1 * (v2 + dt * n2)
-        # avg of e^{As}(v + s n): f1*v + (e - f1)/l * n  (l != 0 branch);
-        # l ~ 0: v + dt n / 2
-        lz = jnp.abs(l1 * dt) < 1e-8
-        g = jnp.where(lz, 0.5 * dt, (e1 - f1) / jnp.where(lz, 1.0, l1))
-        ua1 = f1 * v1 + g * n1
-        ua2 = f1 * v2 + g * n2
-        return ut1, ut2, ua1, ua2
+    z1 = l1 * dt
+    z2 = l2 * dt
+    inv_sep = 1.0 / ((l1 - l2) * dt)
 
-    ut1 = ue1 + e1 * p1_1 + e2 * p2_1
-    ut2 = ue2 + e1 * p1_2 + e2 * p2_2
-    ua1 = ue1 + f1 * p1_1 + f2 * p2_1
-    ua2 = ue2 + f1 * p1_2 + f2 * p2_2
+    def apply_f(f1v, f2v, v1, v2):
+        """f(At) v via f(z2) I + [f(z1)-f(z2)]/(z1-z2) (At - z2 I)."""
+        dd = (f1v - f2v) * inv_sep
+        w1 = (A11 * dt - z2) * v1 + A12 * dt * v2
+        w2 = A21 * dt * v1 + (A22 * dt - z2) * v2
+        return f2v * v1 + dd * w1, f2v * v2 + dd * w2
 
-    dt1, dt2, da1, da2 = degen_pair(d1, d2)
-    ut1 = jnp.where(degen, ue1 + dt1, ut1)
-    ut2 = jnp.where(degen, ue2 + dt2, ut2)
-    ua1 = jnp.where(degen, ue1 + da1, ua1)
-    ua2 = jnp.where(degen, ue2 + da2, ua2)
+    e1v, e2v = jnp.exp(z1), jnp.exp(z2)
+    p1v, p2v = phi1(z1), phi1(z2)
+    q1v, q2v = phi2(z1), phi2(z2)
+
+    eu1, eu2 = apply_f(e1v, e2v, u1, u2)
+    pb1, pb2 = apply_f(p1v, p2v, b1, b2)
+    ut1 = eu1 + dt * pb1
+    ut2 = eu2 + dt * pb2
+
+    pu1, pu2 = apply_f(p1v, p2v, u1, u2)
+    qb1, qb2 = apply_f(q1v, q2v, b1, b2)
+    ua1 = pu1 + dt * qb1
+    ua2 = pu2 + dt * qb2
     return ut1, ut2, ua1, ua2
 
 

@@ -27,9 +27,9 @@ reference ASORA/Fortran traversals):
   selects/reductions (no dynamic lane indexing, no in-kernel DMAs — both
   crash the Mosaic compiler on this stack)
 
-Geometry is packed host-side as geom[3, R1, 9, Dc, 2*Dc] float:
-channels = (s1..s4, path, diag, mask, dist2, unused); the per-sign masks
-live in the two lane halves of the single mask channel.
+Geometry is packed host-side as geom[3, R1, 8, Dc, 2*Dc] float:
+channels = (s1..s4, path, diag, mask, dist2); the per-sign masks live in
+the two lane halves of the single mask channel.
 """
 
 import functools

@@ -101,7 +101,8 @@ def cooling_rate(T, ndens, xh, p: ThermalParams, z=0.0):
 def update_temperature(dt, temp, ndens, xh, heat_rate, p: ThermalParams,
                        z=0.0, nsub=16):
     """Advance T over dt with fixed-rate photoheating and T-dependent
-    cooling, using ``nsub`` midpoint substeps.
+    cooling, using ``nsub`` exponential-Euler substeps (see module
+    docstring: linearized Lambda via AD, exact relaxation solve).
 
     heat_rate: per-HI-atom photoheating rate (erg/s), as returned by the
     raytracer's heating channel. xh is held at its (time-averaged)

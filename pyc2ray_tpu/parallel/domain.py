@@ -86,6 +86,12 @@ class DomainDecomposition:
     """
 
     def __init__(self, engine, mesh):
+        if not hasattr(engine, "trace_extended"):
+            raise TypeError(
+                "domain decomposition requires the cheb/pallas engine "
+                "(ops.raytrace_cheb.ChebRaytracer); got "
+                f"{type(engine).__name__}. Set Raytracing.engine: cheb "
+                "in the parameter file.")
         self.engine = engine
         self.mesh = mesh
         self.N = engine.N

@@ -50,9 +50,14 @@ def initialize(coordinator_address=None, num_processes=None,
     multi = ("," in hosts) or (nproc and nproc > 1)
     if not explicit and not multi:
         return False  # single-process run
+    # forward the env-configured topology explicitly: jax.distributed
+    # only auto-reads the coordinator address, not the process count/id
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes, process_id=process_id)
+        coordinator_address=coordinator_address or explicit,
+        num_processes=num_processes or (nproc if nproc > 0 else None),
+        process_id=process_id)
     return True
 
 

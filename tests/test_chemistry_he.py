@@ -145,3 +145,44 @@ def test_global_pass_he_full_coupling():
     out0 = global_pass_he(dt, a[0], a[1], a[2], a[3], z, z, z, z,
                           a[8], z, z, p0)
     assert not np.allclose(xi, np.asarray(out0[0]), rtol=1e-6)
+
+
+def test_expm2_singular_matrix_no_nan():
+    """Regression (review finding): ne=0 makes A singular (det=0); the
+    phi-function formulation must return the exact limit, not NaN.
+    A = [[-G1, -G1], [0, 0]], b = (G1, 0): y2 is conserved and
+    y1 -> 1 - y2 exponentially."""
+    import jax.numpy as jnp
+    G1 = 1e-12
+    for dt in (1e10, 1e16, 1e25):
+        ut1, ut2, ua1, ua2 = _expm2(
+            jnp.float64(-G1), jnp.float64(-G1), jnp.float64(0.0),
+            jnp.float64(0.0), jnp.float64(G1), jnp.float64(0.0),
+            jnp.float64(0.0), jnp.float64(0.0), jnp.float64(dt))
+        vals = [float(v) for v in (ut1, ut2, ua1, ua2)]
+        assert all(np.isfinite(vals)), vals
+        expect = -np.expm1(-G1 * dt)          # 1 - e^{-G1 dt}
+        np.testing.assert_allclose(vals[0], expect, rtol=1e-6)
+        assert vals[1] == 0.0
+    # fully zero system: u unchanged
+    z = jnp.float64(0.0)
+    out = _expm2(z, z, z, z, z, z, jnp.float64(0.3), jnp.float64(0.1),
+                 jnp.float64(1e20))
+    np.testing.assert_allclose([float(v) for v in out],
+                               [0.3, 0.1, 0.3, 0.1], rtol=1e-10)
+
+
+def test_he_update_zero_density_cells():
+    """Cells with ne=0 and zero rates must come out finite/unchanged
+    through he_update and global_pass_he (the NaN poisoning path)."""
+    import jax.numpy as jnp
+    T = jnp.full((4,), 1e4)
+    ne = jnp.zeros(4)
+    y1 = jnp.asarray([0.0, 0.2, 0.0, 0.5])
+    y2 = jnp.asarray([0.0, 0.1, 0.0, 0.2])
+    y1t, y2t, y1a, y2a = he_update(y1, y2, 1e16, T, ne,
+                                   jnp.zeros(4), jnp.zeros(4), PHE)
+    for v in (y1t, y2t, y1a, y2a):
+        assert np.all(np.isfinite(np.asarray(v)))
+    # with T=1e4 collisional He rates are ~0 and ne=0: nothing moves
+    np.testing.assert_allclose(np.asarray(y2t), np.asarray(y2), atol=1e-12)
