@@ -1,0 +1,95 @@
+"""Adaptive-radius raytracer tests: bucket policy, equivalence in the
+top bucket, and bounded truncation for faint sources (the subbox
+photon-loss criterion)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyc2ray_tpu.ops.adaptive import AdaptiveRaytracer, stromgren_radius_cells
+from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer
+from pyc2ray_tpu.ops.raytrace_box import grey_bins
+
+from test_raytrace import SIG, DR
+
+ND = 1.0e-3
+
+
+def _adaptive(N, R, **kw):
+    return AdaptiveRaytracer(N, R, SIG, grey_bins(), batch_size=2,
+                             dtype=jnp.float64, avg_dens=ND, **kw)
+
+
+def test_bucket_assignment_monotone():
+    rt = _adaptive(32, 16.0)
+    flux = np.array([1e-4, 1e-2, 1.0, 1e2])
+    b = rt.assign_buckets(flux, DR)
+    assert np.all(np.diff(b) >= 0)          # brighter -> bigger bucket
+    r_s = stromgren_radius_cells(flux, DR, ND)
+    assert np.all(r_s[1:] > r_s[:-1])
+
+
+def test_top_bucket_matches_single_engine():
+    """Sources bright enough for the top bucket must give exactly the
+    single-engine result."""
+    N = 16
+    R = 6.0
+    rng = np.random.RandomState(1)
+    nd = ND * np.ones((N, N, N))
+    xh = rng.uniform(0, 0.3, (N, N, N))
+    src = rng.randint(0, N, (4, 3))
+    flux = 1e4 * np.ones(4)                 # huge: all in top bucket
+    rt_a = _adaptive(N, R)
+    phi_a, st = rt_a.trace(nd, xh, src, flux, DR, stats=True)
+    assert st["bucket_counts"][-1] == 4
+    assert sum(st["bucket_counts"][:-1]) == 0
+    rt_s = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=2,
+                         dtype=jnp.float64)
+    phi_s = rt_s.trace(nd, xh, src, flux, DR)
+    np.testing.assert_allclose(np.asarray(phi_a), np.asarray(phi_s),
+                               rtol=1e-13)
+
+
+def test_faint_source_truncation_bounded():
+    """A faint source in a small bucket: the Gamma it loses vs the
+    full-radius engine must be a small fraction of its photon budget
+    (the reference's loss_fraction criterion, parameters.yml)."""
+    N = 32
+    R = 14.0
+    nd = ND * np.ones((N, N, N))
+    xh = np.zeros((N, N, N))
+    src = np.array([[16, 16, 16]])
+    flux = np.array([1e-2])                  # faint -> small Stromgren r
+    rt_a = _adaptive(N, R, safety=2.0)
+    phi_a, st = rt_a.trace(nd, xh, src, flux, DR, stats=True)
+    assert st["bucket_counts"][-1] == 0       # did NOT use the top bucket
+    rt_s = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=2,
+                         dtype=jnp.float64)
+    phi_s = np.asarray(rt_s.trace(nd, xh, src, flux, DR))
+    # absorbed-photon deficit = sum (Gamma_full - Gamma_trunc) nHI dr^3
+    nhi = nd * (1 - xh)
+    deficit = float(((phi_s - np.asarray(phi_a)) * nhi).sum()) * DR ** 3
+    emitted = 1e48 * float(flux[0])
+    assert deficit >= -1e-40                  # truncation only removes
+    assert deficit / emitted < 1e-2           # reference loss_fraction
+
+
+def test_mixed_catalog_additivity():
+    """Mixed bright+faint catalog: adaptive == sum of per-bucket
+    single-engine traces (pure superposition)."""
+    N = 24
+    R = 10.0
+    rng = np.random.RandomState(3)
+    nd = ND * np.ones((N, N, N))
+    xh = rng.uniform(0, 0.2, (N, N, N))
+    src = rng.randint(0, N, (6, 3))
+    flux = np.array([1e3, 1e3, 1e-1, 1e-1, 1e-1, 1e3])
+    rt_a = _adaptive(N, R)
+    phi_a, st = rt_a.trace(nd, xh, src, flux, DR, stats=True)
+    total = np.zeros((N, N, N))
+    b = rt_a.assign_buckets(flux, DR)
+    for k, eng in enumerate(rt_a.engines):
+        sel = np.nonzero(b == k)[0]
+        if sel.size:
+            total += np.asarray(eng.trace(nd, xh, src[sel], flux[sel], DR))
+    np.testing.assert_allclose(np.asarray(phi_a), total, rtol=1e-13)
+    assert sum(st["bucket_counts"]) == 6
