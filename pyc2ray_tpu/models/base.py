@@ -114,6 +114,20 @@ class C2RaySimulation:
         path; a ("di","dj") mesh selects the domain-decomposed
         halo-exchange path (beyond reference)."""
         pos, flux = format_sources(src_pos, src_flux)
+        if getattr(self, "multi_species", False):
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "the helium engine is single-device in this round; "
+                    "unset sim.mesh or use the hydrogen engines")
+            from ..evolve import evolve3D_he
+            out = evolve3D_he(
+                dt, self.dr, flux, pos, self.raytracer, self.chem_he,
+                self.temp, self.ndens, self.xh, self.xhe1, self.xhe2,
+                convergence_fraction=self.convergence_fraction,
+                logfile=self.logfile, quiet=False)
+            (self.xh, self.phi_ion, self.xhe1, self.xhe2,
+             self.phi_he1, self.phi_he2) = out
+            return
         if self.mesh is not None and "di" in self.mesh.axis_names:
             from ..parallel.domain import (DomainDecomposition,
                                            evolve3D_domain)
@@ -173,6 +187,13 @@ class C2RaySimulation:
     def do_raytracing(self, src_flux, src_pos):
         """Standalone Gamma computation (c2ray_base.py:300-323)."""
         pos, flux = format_sources(src_pos, src_flux)
+        if getattr(self, "multi_species", False):
+            g = self.raytracer.trace(self.ndens, self.xh, self.xhe1,
+                                     self.xhe2, pos, flux, self.dr)
+            self.phi_ion = np.asarray(g[0])
+            self.phi_he1 = np.asarray(g[1])
+            self.phi_he2 = np.asarray(g[2])
+            return self.phi_ion
         out = self.raytracer.trace(self.ndens, self.xh, pos, flux, self.dr)
         if self.raytracer.config.do_heating:
             self.phi_ion, self.phi_heat = np.asarray(out[0]), np.asarray(out[1])
@@ -308,6 +329,34 @@ class C2RaySimulation:
             import jax
             jax.config.update("jax_enable_x64", True)
         engine = str(ld["Raytracing"].get("engine", "flat"))
+        self.multi_species = (engine == "he")
+        if engine == "he":
+            # helium extension (beyond reference): three-species engine +
+            # coupled H/He chemistry; see ops/raytrace_he.py
+            from ..ops.raytrace_he import HeRaytracer
+            from ..radiation.helium import make_spectral_bins_he
+            from ..ops.chemistry_he import HeChemistryParams
+            panels = int(ld["Raytracing"].get("bins_panels", 6))
+            nodes = int(ld["Raytracing"].get("bins_nodes", 8))
+            bins = make_spectral_bins_he(
+                BlackBodySource(self.bb_Teff, self.grey,
+                                ev2fr * self.eth0, self.cs_pl_idx_h),
+                panels_per_band=panels, nodes=nodes)
+            self.raytracer = HeRaytracer(
+                self.N, float(self.R_max_LLS), bins, self.abu_he,
+                batch_size=batch, dtype=dtype,
+                use_pallas=bool(ld["Raytracing"].get("use_pallas", False)))
+            self.chem_he = HeChemistryParams(chem=self.chem,
+                                             abu_he=self.abu_he)
+            # He ionization state (xHeII, xHeIII fractions)
+            if not hasattr(self, "xhe1"):
+                self.xhe1 = np.full(self.shape, 1e-3)
+                self.xhe2 = np.zeros(self.shape)
+            self.printlog(
+                f"Using three-species (H+He) raytracing "
+                f"({bins.num_bins} bins over 3 bands, abu_he = "
+                f"{self.abu_he:.3g}, batch = {batch:n})")
+            return
         if engine in ("cheb", "pallas"):
             # production fast path: Chebyshev-face sweep + spectral bins
             from ..ops.raytrace_cheb import ChebRaytracer

@@ -151,3 +151,28 @@ def test_model_mesh_dispatch(tmp_path):
                                    rtol=1e-10)
         np.testing.assert_allclose(results[mode][1], results["single"][1],
                                    rtol=1e-10)
+
+
+def test_helium_engine_through_model(tmp_path):
+    """engine: he through the model API: coupled H+He evolve updates
+    xh, xhe1, xhe2 with sane structure."""
+    pfile = _setup(tmp_path, "he")
+    N = 12
+    sim = pc2r.C2Ray_Test(pfile, N, use_gpu=True)
+    assert sim.multi_species
+    sim.ndens = 1e-3 * np.ones((N, N, N))
+    srcpos = np.array([[N // 2], [N // 2], [N // 2]], dtype=float)
+    srcflux = np.array([20.0])
+    zreds = sim.generate_redshift_array(2, 1e6)
+    dt = sim.set_timestep(zreds[0], zreds[1], 2)
+    sim.evolve3D(dt, srcflux, srcpos)
+    xh, y1, y2 = [np.asarray(a) for a in (sim.xh, sim.xhe1, sim.xhe2)]
+    c = N // 2
+    assert xh[c, c, c] > 20 * 1.2e-3          # H strongly ionizing
+    assert y1[c, c, c] + y2[c, c, c] > 20 * 1e-3   # He strongly ionizing
+    assert xh[c, c, c] > xh[0, 0, 0] * 5       # centrally concentrated
+    assert np.all(np.isfinite(xh + y1 + y2))
+    assert np.all(y1 + y2 <= 1 + 1e-12)
+    # standalone raytracing entry also works
+    sim.do_raytracing(srcflux, srcpos)
+    assert np.asarray(sim.phi_he1).max() > 0
