@@ -19,9 +19,14 @@ Prints ONE JSON line:
    "unit": "Mcell/s", "vs_baseline": ...}
 
 vs_baseline compares the raytrace-only ns/cell against ASORA's converged
-P100 floor. The reference repo stores no number (BASELINE.md: "harness +
-formula only"); 2.0 ns/cell-update is used as the documented anchor
-estimate for the P100 floor, so vs_baseline = 2.0 / ours_ns.
+P100 floor of 3.156 ns/cell-update. That number is read off the
+reference repository's own copy of the paper's Figure 8
+(/root/reference/fig/scaling.jpg): the dashed converged floor is
+annotated "3.156 ns" on the axis 3t/(Ns 4 pi R^3) [s] — identical to
+this bench's normalization t / (Ns * 4/3 pi R^3) — measured on an
+NVIDIA Tesla P100 (the axis subtitle names the GPU). The floor is
+reached for Ns >~ 1e3 (R=30 curve converges at Ns ~ 1e3), so the bench
+measures in that converged regime; vs_baseline = 3.156 / ours_ns.
 """
 
 import json
@@ -30,7 +35,9 @@ import time
 
 import numpy as np
 
-BASELINE_NS_PER_CELL = 2.0  # assumed ASORA P100 converged floor (see above)
+# ASORA P100 converged floor, annotated in the paper's Figure 8 shipped
+# with the reference (fig/scaling.jpg, dashed line "3.156 ns")
+BASELINE_NS_PER_CELL = 3.156
 
 
 def main():
@@ -44,14 +51,17 @@ def main():
 
     N = 256
     R = 30.0
-    NS = 512
+    NS = 2048   # converged regime of the paper's Figure-8 floor (Ns >~ 1e3)
     BATCH = 16
     NREPS = 3
     dtype = jnp.float32
 
     fmin, fmax = ev2fr * 13.598, 10 * ev2fr * 54.416
+    # 4x8 = 32 bins: ~5x more accurate than the reference's NumTau=2000
+    # log-linear rate table (1.5e-3 vs 7.3e-3 worst-case relative error;
+    # docs/TPU_PERFORMANCE_NOTES.md)
     bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
-                              fmin, fmax, panels=8, nodes=8)
+                              fmin, fmax, panels=4, nodes=8)
     rt = ChebRaytracer(N, R, 6.30e-18, bins, batch_size=BATCH, dtype=dtype,
                        use_pallas=True)
     chem = ChemistryParams(bh00=2.59e-13, albpow=-0.7,
@@ -103,7 +113,7 @@ def main():
 
     detail = {
         "N": N, "R": R, "num_src": NS, "batch": BATCH, "dtype": "float32",
-        "engine": "pallas chebyshev-face sweep + spectral bins (64)",
+        "engine": "pallas chebyshev-face sweep + spectral bins (32)",
         "t_raytrace_s": round(t_ray, 4), "t_chemistry_s": round(t_chem, 4),
         "compile_s": round(compile_s, 1),
         "ns_per_cell_update_raytrace": round(ns_per_cell_ray, 3),

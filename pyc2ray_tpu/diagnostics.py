@@ -46,14 +46,33 @@ def photon_budget(phi_ion, ndens, xh_av, src_flux, dr):
 
 @contextlib.contextmanager
 def stage_timer(name, logfile=None, quiet=False):
-    """Time a stage; blocks on all live arrays at exit for honest timing."""
+    """Time a device stage with an honest completion barrier.
+
+    Put the stage's result array(s) into the yielded dict under "sync":
+
+        with stage_timer("Raytracing", log) as st:
+            phi = trace(...)
+            st["sync"] = phi
+
+    At exit one scalar is fetched from every array in st["sync"] — on
+    this TPU stack ``block_until_ready`` can return at dispatch time
+    (docs/TPU_PERFORMANCE_NOTES.md), so a data-dependent fetch is the
+    only reliable barrier. Without a "sync" entry the timing is
+    dispatch-only and the log says so.
+    """
+    from .evolve_loop import force
     t0 = time.time()
     result = {}
     try:
         yield result
     finally:
+        synced = "sync" in result
+        if synced:
+            force(result["sync"])
         result["seconds"] = time.time() - t0
-        printlog(f"{name} took {result['seconds']:.3f} s.", logfile, quiet)
+        tag = "" if synced else " (dispatch only — no sync array given)"
+        printlog(f"{name} took {result['seconds']:.3f} s.{tag}",
+                 logfile, quiet)
 
 
 def trace_annotated(name, fn):

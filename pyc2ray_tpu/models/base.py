@@ -124,9 +124,12 @@ class C2RaySimulation:
                 dt, self.dr, flux, pos, self.raytracer, self.chem_he,
                 self.temp, self.ndens, self.xh, self.xhe1, self.xhe2,
                 convergence_fraction=self.convergence_fraction,
-                logfile=self.logfile, quiet=False)
+                logfile=self.logfile, quiet=False,
+                thermal=self.thermal, zred=self.zred)
             (self.xh, self.phi_ion, self.xhe1, self.xhe2,
-             self.phi_he1, self.phi_he2) = out
+             self.phi_he1, self.phi_he2) = out[:6]
+            if self.thermal is not None:
+                self.temp = out[6]
             return
         if self.mesh is not None and "di" in self.mesh.axis_names:
             from ..parallel.domain import (DomainDecomposition,
@@ -161,7 +164,8 @@ class C2RaySimulation:
                 self.temp, self.ndens, self.xh,
                 convergence_fraction=self.convergence_fraction,
                 logfile=self.logfile, quiet=False,
-                thermal=self.thermal, zred=self.zred)
+                thermal=self.thermal, zred=self.zred,
+                loss_fraction=self.loss_fraction)
             if self.thermal is not None:
                 self.xh, self.phi_ion, self.temp = out
             else:
@@ -184,8 +188,15 @@ class C2RaySimulation:
         self.zred = z_half
         self.time = t_after
 
-    def do_raytracing(self, src_flux, src_pos):
-        """Standalone Gamma computation (c2ray_base.py:300-323)."""
+    def do_raytracing(self, src_flux, src_pos, stats=False):
+        """Standalone Gamma computation (c2ray_base.py:300-323).
+
+        With ``stats=True`` also returns a diagnostics dict with the
+        photon-loss fraction (and, for the adaptive engine, the bucket
+        assignment) — the analog of the reference's
+        ``do_raytracing(..., stats=True) -> (phi, nsubbox, photonloss)``
+        (reference raytracing.py:105-108; nsubbox has no equivalent
+        under static shapes, bucket counts play that role)."""
         pos, flux = format_sources(src_pos, src_flux)
         if getattr(self, "multi_species", False):
             g = self.raytracer.trace(self.ndens, self.xh, self.xhe1,
@@ -193,12 +204,32 @@ class C2RaySimulation:
             self.phi_ion = np.asarray(g[0])
             self.phi_he1 = np.asarray(g[1])
             self.phi_he2 = np.asarray(g[2])
+            if stats:
+                from ..diagnostics import photon_budget
+                st = photon_budget(self.phi_ion, self.ndens, self.xh,
+                                   flux, self.dr)
+                return self.phi_ion, st
             return self.phi_ion
-        out = self.raytracer.trace(self.ndens, self.xh, pos, flux, self.dr)
-        if self.raytracer.config.do_heating:
-            self.phi_ion, self.phi_heat = np.asarray(out[0]), np.asarray(out[1])
+        bucket_stats = None
+        if getattr(self.raytracer, "needs_flux_bucketing", False):
+            out = self.raytracer.trace(self.ndens, self.xh, pos, flux,
+                                       self.dr, stats=True)
+            out, bucket_stats = out
+        else:
+            out = self.raytracer.trace(self.ndens, self.xh, pos, flux,
+                                       self.dr)
+        if self.raytracer.config.do_heating and bucket_stats is None:
+            self.phi_ion = np.asarray(out[0])
+            self.phi_heat = np.asarray(out[1])
         else:
             self.phi_ion = np.asarray(out)
+        if stats:
+            from ..diagnostics import photon_budget
+            st = photon_budget(self.phi_ion, self.ndens, self.xh,
+                               flux, self.dr)
+            if bucket_stats is not None:
+                st.update(bucket_stats)
+            return self.phi_ion, st
         return self.phi_ion
 
     # ==================================================================
@@ -329,23 +360,41 @@ class C2RaySimulation:
             import jax
             jax.config.update("jax_enable_x64", True)
         engine = str(ld["Raytracing"].get("engine", "flat"))
+        valid_engines = ("flat", "cheb", "pallas", "adaptive", "he")
+        if engine not in valid_engines:
+            raise ValueError(
+                f"Unknown Raytracing.engine: {engine!r}. Valid engines: "
+                f"{', '.join(valid_engines)} (flat = reference-exact "
+                f"octahedral f64 tables; cheb = Chebyshev-face XLA sweep; "
+                f"pallas = cheb with the Pallas TPU kernel; adaptive = "
+                f"pallas with flux-bucketed per-source radii; he = "
+                f"three-species H+He)")
         self.multi_species = (engine == "he")
         if engine == "he":
             # helium extension (beyond reference): three-species engine +
             # coupled H/He chemistry; see ops/raytrace_he.py
             from ..ops.raytrace_he import HeRaytracer
-            from ..radiation.helium import make_spectral_bins_he
+            from ..radiation.helium import make_spectral_bins_he, DEFAULT_PL
             from ..ops.chemistry_he import HeChemistryParams
             panels = int(ld["Raytracing"].get("bins_panels", 6))
             nodes = int(ld["Raytracing"].get("bins_nodes", 8))
+            # honor the configured HI cross-section slope in the He bins
+            # (HeI/HeII keep the standard defaults)
+            pl = (float(self.cs_pl_idx_h), DEFAULT_PL[1], DEFAULT_PL[2])
             bins = make_spectral_bins_he(
                 BlackBodySource(self.bb_Teff, self.grey,
                                 ev2fr * self.eth0, self.cs_pl_idx_h),
-                panels_per_band=panels, nodes=nodes)
+                panels_per_band=panels, nodes=nodes, pl=pl)
             self.raytracer = HeRaytracer(
                 self.N, float(self.R_max_LLS), bins, self.abu_he,
                 batch_size=batch, dtype=dtype,
-                use_pallas=bool(ld["Raytracing"].get("use_pallas", False)))
+                use_pallas=bool(ld["Raytracing"].get("use_pallas", False)),
+                do_heating=self.compute_heating_rates)
+            if self.thermal is not None and not self.compute_heating_rates:
+                raise ValueError(
+                    "Material.isothermal: false with engine: he requires "
+                    "Photo.compute_heating_rates: 1 (the He engine "
+                    "accumulates heating only when asked)")
             self.chem_he = HeChemistryParams(chem=self.chem,
                                              abu_he=self.abu_he)
             # He ionization state (xHeII, xHeIII fractions)
@@ -357,20 +406,43 @@ class C2RaySimulation:
                 f"({bins.num_bins} bins over 3 bands, abu_he = "
                 f"{self.abu_he:.3g}, batch = {batch:n})")
             return
-        if engine in ("cheb", "pallas"):
+        if engine in ("cheb", "pallas", "adaptive"):
             # production fast path: Chebyshev-face sweep + spectral bins
             from ..ops.raytrace_cheb import ChebRaytracer
             from ..radiation.spectral_bins import make_spectral_bins
             ion_freq_HI = ev2fr * self.eth0
-            # quadrature resolution knobs (default 8x8 = 64 bins, ~1e-6
-            # per-rate; raise for golden-tolerance accuracy runs)
-            panels = int(ld["Raytracing"].get("bins_panels", 8))
+            # quadrature resolution knobs. The 4x8 = 32-bin default is
+            # ~5x MORE accurate than the reference's NumTau=2000
+            # log-linear table (1.5e-3 vs 7.3e-3 worst-case relative rate
+            # error over tau in [0, 1e4]; scratch measurement recorded in
+            # docs/TPU_PERFORMANCE_NOTES.md). Raise to 6x8/8x8 for
+            # golden-tolerance accuracy studies.
+            panels = int(ld["Raytracing"].get("bins_panels", 4))
             nodes = int(ld["Raytracing"].get("bins_nodes", 8))
             bins = make_spectral_bins(
                 BlackBodySource(self.bb_Teff, self.grey, ion_freq_HI,
                                 self.cs_pl_idx_h),
                 ion_freq_HI, 10 * ev2fr * self.ethe1,
                 panels=panels, nodes=nodes)
+            if engine == "adaptive":
+                # flux-bucketed per-source radii: the production answer
+                # to the reference's subbox machinery (consumes
+                # Raytracing.loss_fraction via the per-iteration
+                # photon-loss warning in the evolve loop)
+                from ..ops.adaptive import AdaptiveRaytracer
+                safety = float(ld["Raytracing"].get("adaptive_safety", 2.0))
+                radii = ld["Raytracing"].get("adaptive_radii", None)
+                self.raytracer = AdaptiveRaytracer(
+                    self.N, float(self.R_max_LLS), float(self.sig), bins,
+                    radii=radii, batch_size=batch, dtype=dtype,
+                    use_pallas=True, safety=safety,
+                    do_heating=self.compute_heating_rates)
+                self.printlog(
+                    f"Using TPU adaptive-radius raytracing (buckets R = "
+                    f"{self.raytracer.radii}, safety = {safety:g}, "
+                    f"{bins.num_bins} spectral bins, batch = {batch:n}, "
+                    f"dtype = {dtype_name})")
+                return
             self.raytracer = ChebRaytracer(
                 self.N, float(self.R_max_LLS), float(self.sig), bins,
                 batch_size=batch, dtype=dtype,

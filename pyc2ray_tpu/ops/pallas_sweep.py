@@ -255,7 +255,9 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
                       interpret=False):
     """Run the sweep kernel over a sequential shell grid.
 
-    geom: (3, R1, 8, Dc, 2*Dc); nhi_{x,y,z}: (Dc, B, Dc, Dc) face-leading;
+    geom: 3-tuple of (R1, 8, Dc, 2*Dc) per-face tables (pre-split so no
+    per-call slice of a stacked array lands inside a caller's batch loop);
+    nhi_{x,y,z}: (Dc, B, Dc, Dc) face-leading;
     init_plane: (B, Dc, 2*Dc) sheet with the source cell set in both
     halves. With bins=None returns column-density stacks; with bins a
     static tuple of (s_e, w_e) pairs, the rate pass is fused and the

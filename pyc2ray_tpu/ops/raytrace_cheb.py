@@ -34,7 +34,11 @@ FOURPI = 12.566370614359172463991853874177
 
 class ChebTables(NamedTuple):
     sw: object          # (3, 4, R1, Dc, Dc)
-    geom_packed: object # (3, R1, 8, Dc, Dc) packed for the Pallas kernel
+    geom_x: object      # (R1, 8, Dc, 2*Dc) packed for the Pallas kernel;
+    geom_y: object      # stored pre-split per face: slicing geom[f] from a
+    geom_z: object      # (3,...) array inside the batch loop showed up in
+                        # profiles as ~8 MB async copies PER BATCH that XLA
+                        # does not hoist out of the fori_loop
     path: object        # (3, R1, Dc, Dc)
     diag: object        # (3, R1, Dc, Dc)
     mask_p: object      # (3, R1, Dc, Dc) bool
@@ -89,8 +93,11 @@ class ChebRaytracer:
             (float(s), float(w)) for s, w in zip(bins.s, bins.w_photo))
         from .pallas_sweep import pack_geometry
         np_dt = np.float32 if dt == jnp.float32 else np.float64
+        geom_np = pack_geometry(g, np_dt)
         self.tables = ChebTables(
-            geom_packed=jnp.asarray(pack_geometry(g, np_dt)),
+            geom_x=jnp.asarray(geom_np[0]),
+            geom_y=jnp.asarray(geom_np[1]),
+            geom_z=jnp.asarray(geom_np[2]),
             sw=jnp.asarray(g.sw, dt),
             path=jnp.asarray(g.path, dt),
             diag=jnp.asarray(g.diag, dt),
@@ -225,7 +232,7 @@ class ChebRaytracer:
             jnp.where(center, src_cd[:, None, None], 0.0),
             (B, g.Dc, 2 * g.Dc)).astype(self.dtype)
         X, Y, Z = cheb_sweep_pallas(
-            tb.geom_packed, nx, ny, nz, dr, init_plane,
+            (tb.geom_x, tb.geom_y, tb.geom_z), nx, ny, nz, dr, init_plane,
             B=B, Dc=g.Dc, R1=g.r_max + 1, c=g.c,
             sig=(self.sig if sig is None else float(sig)),
             bins=self._bins_static if fuse_rates else None,

@@ -51,9 +51,11 @@ class HeRaytracer:
     each (N,N,N) per-atom photoionization rates."""
 
     def __init__(self, N, R_max_LLS, bins: HeSpectralBins, abu_he,
-                 batch_size=8, dtype=jnp.float32, use_pallas=False):
+                 batch_size=8, dtype=jnp.float32, use_pallas=False,
+                 do_heating=False):
         from ..radiation.spectral_bins import SpectralBins
         self.abu_he = float(abu_he)
+        self.do_heating = bool(do_heating)
         self.bins = bins
         st = bins.sigma_th
         # the host engine supplies geometry, sweeps and box machinery;
@@ -103,6 +105,7 @@ class HeRaytracer:
 
         tiny = jnp.asarray(1e-30 if dt == jnp.float32 else 1e-280, dt)
         acc = [jnp.zeros_like(cds[0]) for _ in range(3)]
+        acc_heat = jnp.zeros_like(cds[0]) if self.do_heating else None
         E = int(self.bins.num_bins)
         for e in range(E):
             tau_in = jnp.zeros_like(cds[0])
@@ -112,10 +115,15 @@ class HeRaytracer:
                 tau_in = tau_in + cdin[s] * se
                 dtau_s.append(dcol[s] * se)
             dtau = dtau_s[0] + dtau_s[1] + dtau_s[2]
-            absorbed = heb.w[e] * jnp.exp(-tau_in) * (-jnp.expm1(-dtau))
-            inv = absorbed / jnp.maximum(dtau, tiny)
+            core = jnp.exp(-tau_in) * (-jnp.expm1(-dtau))
+            inv = core / jnp.maximum(dtau, tiny)
             for s in range(3):
-                acc[s] = acc[s] + inv * dtau_s[s]
+                acc[s] = acc[s] + heb.w[e] * inv * dtau_s[s]
+                if self.do_heating:
+                    # energy deposited by species s in bin e: the bin's
+                    # absorbed photons x the species' opacity share x its
+                    # excess energy h(nu_e - nu_th,s)  (w_heat[s,e])
+                    acc_heat = acc_heat + heb.w_heat[s, e] * inv * dtau_s[s]
 
         R2 = jnp.asarray(self.eng.R_max_LLS ** 2, dt)
         mask = (tb.rate_valid[None]
@@ -125,6 +133,12 @@ class HeRaytracer:
         for s in range(3):
             gam = prefact * acc[s] / jnp.maximum(nboxes[s], tiny)
             out.append(jnp.where(mask & (nboxes[s] > 0), gam, 0.0))
+        if self.do_heating:
+            # per-HI-atom equivalent of the TOTAL (all-species) volumetric
+            # heating, so ops/thermal.update_temperature (which multiplies
+            # by n_HI) recovers sum_s Gamma_heat_s * n_s exactly
+            heat = prefact * acc_heat / jnp.maximum(nboxes[0], tiny)
+            out.append(jnp.where(mask & (nboxes[0] > 0), heat, 0.0))
         return out
 
     # ------------------------------------------------------------------
@@ -138,7 +152,8 @@ class HeRaytracer:
                   abu * nd3 * y13)                      # HeII
         pads = [jnp.pad(f, ((padL, padR),) * 3, mode="wrap")
                 for f in fields]
-        phi0 = [jnp.zeros(pads[0].shape, self.dtype) for _ in range(3)]
+        n_out = 4 if self.do_heating else 3
+        phi0 = [jnp.zeros(pads[0].shape, self.dtype) for _ in range(n_out)]
 
         def batch_step(b, phis):
             z32 = jnp.zeros((), jnp.int32)
@@ -165,13 +180,23 @@ class HeRaytracer:
                         p_acc, cur + box, (pv[0], pv[1], pv[2]))
                 return lax.fori_loop(0, pos.shape[0], one, pad)
 
-            return tuple(accum(phis[s], gam[s]) for s in range(3))
+            return tuple(accum(phis[s], gam[s]) for s in range(len(phis)))
 
         phis = lax.fori_loop(0, pos_b.shape[0], batch_step, tuple(phi0))
         return tuple(eng._fold_padding(p) for p in phis)
 
+    # -- uniform engine API ----------------------------------------------
+    def trace_batches(self, nd3, xh3, y13, y23, pos_b, flux_b, dr):
+        """Device-level batched trace on prepared sources.
+
+        Returns (Gamma_HI, Gamma_HeI, Gamma_HeII[, heat]) as (N,N,N)
+        device arrays (heat only with do_heating: the per-HI-atom
+        equivalent of the total three-species photoheating)."""
+        return self._trace_jit(self.eng.tables, self.he_tables,
+                               nd3, xh3, y13, y23, pos_b, flux_b, dr)
+
     def trace(self, ndens, xh, y1, y2, src_pos, src_flux, dr):
-        """Public API: per-atom (Gamma_HI, Gamma_HeI, Gamma_HeII)."""
+        """Public API: per-atom (Gamma_HI, Gamma_HeI, Gamma_HeII[, heat])."""
         sh = (self.N,) * 3
         dt = self.dtype
         args = [jnp.asarray(np.asarray(a), dt).reshape(sh)

@@ -36,6 +36,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..constants import S_STAR_REF
+from ..evolve_loop import IterationResult, run_convergence_loop
 from ..ops.chemistry import ChemistryParams, global_pass
 from ..utils.logutils import printlog
 
@@ -243,9 +245,9 @@ class DomainDecomposition:
         @partial(shard_map, mesh=self.mesh,
                  in_specs=(P(), spec, spec, spec, spec,
                            P(("di", "dj")), P(("di", "dj")), P(), P()),
-                 out_specs=((spec, spec, spec, spec, P(), P(), P())
+                 out_specs=((spec, spec, spec, spec, P(), P(), P(), P())
                             if heating else
-                            (spec, spec, spec, P(), P(), P())),
+                            (spec, spec, spec, P(), P(), P(), P())),
                  check_vma=False)
         def step(tb, ndens, temp, xh, xh_av, pos_b, flux_b, dt, dr):
             phi, heat = self._trace_shard(tb, ndens, xh_av, pos_b,
@@ -257,10 +259,12 @@ class DomainDecomposition:
             s1 = jax.lax.psum(jnp.sum(xi), ("di", "dj"))
             s0 = jax.lax.psum(jnp.sum(1.0 - xi), ("di", "dj"))
             cf = jax.lax.psum(cf, ("di", "dj"))
+            ab = jax.lax.psum(
+                jnp.sum(phi * ndens * (1.0 - xh_av)), ("di", "dj")) * dr ** 3
             if heating:
                 return (xi.reshape(sh), xav.reshape(sh), phi, heat,
-                        cf, s1, s0)
-            return (xi.reshape(sh), xav.reshape(sh), phi, cf, s1, s0)
+                        cf, s1, s0, ab)
+            return (xi.reshape(sh), xav.reshape(sh), phi, cf, s1, s0, ab)
 
         def step_with_tables(*args):
             return jax.jit(step)(eng.tables, *args)
@@ -294,57 +298,57 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
     N = decomp.N
     num_cells = N ** 3
     num_src = int(np.asarray(src_flux).shape[0])
-    conv_criterion = min(int(convergence_fraction * num_cells),
-                         (num_src - 1) / 3)
     dtype = eng.dtype
     sh3 = (N, N, N)
     temp_d = jnp.asarray(np.asarray(temp), dtype).reshape(sh3)
     ndens_d = jnp.asarray(np.asarray(ndens), dtype).reshape(sh3)
     xh_d = jnp.asarray(np.asarray(xh), dtype).reshape(sh3)
-    xh_av = xh_d
-    xh_intermed = xh_d
     pos_b, flux_b = decomp.prepare_sources(src_pos, src_flux)
     step = decomp.make_step(chem)
+    emitted = float(np.sum(np.asarray(src_flux, dtype=np.float64))) \
+        * S_STAR_REF
 
     heating = decomp.engine.do_heating
     if thermal is not None and not heating:
         raise ValueError("thermal evolution requires a heating engine")
 
-    prev_sum_xh1 = 2.0 * num_cells
-    prev_sum_xh0 = 2.0 * num_cells
-    converged = False
-    niter = 0
-    phi_ion = None
-    phi_heat = None
     printlog(f"Calling evolve3D over domain mesh "
              f"{decomp.pi}x{decomp.pj} (halo {decomp.hlo}/{decomp.hhi})...",
              logfile, quiet)
-    while not converged and niter < max_iterations:
-        niter += 1
+    state = {"xh_av": xh_d, "xh_intermed": xh_d,
+             "phi_ion": None, "phi_heat": None}
+
+    def iteration(niter):
         t0 = time.time()
-        out = step(ndens_d, temp_d, xh_d, xh_av, pos_b, flux_b,
+        out = step(ndens_d, temp_d, xh_d, state["xh_av"], pos_b, flux_b,
                    jnp.asarray(dt, dtype), jnp.asarray(dr, dtype))
         if heating:
             (xh_intermed, xh_av, phi_ion, phi_heat,
-             conv_flag, sum_xh1, sum_xh0) = out
+             conv_flag, sum_xh1, sum_xh0, absorbed) = out
         else:
-            xh_intermed, xh_av, phi_ion, conv_flag, sum_xh1, sum_xh0 = out
-        conv_flag, sum_xh1, sum_xh0 = jax.device_get(
-            (conv_flag, sum_xh1, sum_xh0))
-        printlog(f"Iteration {niter} took {time.time()-t0:.3f} s; "
-                 f"non-converged: {int(conv_flag)}", logfile, quiet)
-        rel1 = abs((sum_xh1 - prev_sum_xh1) / sum_xh1) if sum_xh1 > 0 else 1.0
-        rel0 = abs((sum_xh0 - prev_sum_xh0) / sum_xh0) if sum_xh0 > 0 else 1.0
-        converged = (conv_flag < conv_criterion) or (
-            (rel1 < convergence_fraction) and (rel0 < convergence_fraction))
-        prev_sum_xh1, prev_sum_xh0 = sum_xh1, sum_xh0
+            (xh_intermed, xh_av, phi_ion,
+             conv_flag, sum_xh1, sum_xh0, absorbed) = out
+            phi_heat = None
+        conv_flag, sum_xh1, sum_xh0, absorbed = jax.device_get(
+            (conv_flag, sum_xh1, sum_xh0, absorbed))
+        printlog(f"Iteration {niter} took {time.time()-t0:.3f} s.",
+                 logfile, quiet)
+        state.update(xh_av=xh_av, xh_intermed=xh_intermed,
+                     phi_ion=phi_ion, phi_heat=phi_heat)
+        loss = (1.0 - float(absorbed) / emitted) if emitted > 0 else 0.0
+        return IterationResult(int(conv_flag), float(sum_xh1),
+                               float(sum_xh0), photon_loss=loss)
+
+    run_convergence_loop(iteration, num_cells, num_src,
+                         convergence_fraction, max_iterations,
+                         logfile, quiet)
 
     if thermal is not None:
         tstep = decomp.make_thermal_step(thermal, zred=float(zred))
         temp_new = tstep(jnp.asarray(dt, dtype), temp_d, ndens_d,
-                         xh_av, phi_heat)
-        return (np.asarray(xh_intermed).reshape(sh3),
-                np.asarray(phi_ion).reshape(sh3),
+                         state["xh_av"], state["phi_heat"])
+        return (np.asarray(state["xh_intermed"]).reshape(sh3),
+                np.asarray(state["phi_ion"]).reshape(sh3),
                 np.asarray(temp_new).reshape(sh3))
-    return (np.asarray(xh_intermed).reshape(sh3),
-            np.asarray(phi_ion).reshape(sh3))
+    return (np.asarray(state["xh_intermed"]).reshape(sh3),
+            np.asarray(state["phi_ion"]).reshape(sh3))

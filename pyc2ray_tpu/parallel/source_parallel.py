@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from ..constants import S_STAR_REF
+from ..evolve_loop import IterationResult, run_convergence_loop
 from ..ops.chemistry import ChemistryParams, global_pass
 from ..ops.raytrace import Raytracer
 from ..utils.logutils import printlog
@@ -62,7 +64,7 @@ def make_sharded_step(raytracer: Raytracer, mesh, chem: ChemistryParams):
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(), P(), P(axes), P(axes), P(), P()),
-             out_specs=(P(), P(), P(), P(), P(), P()),
+             out_specs=(P(), P(), P(), P(), P(), P(), P()),
              check_vma=False)
     def step(tb, ndens, temp, xh, xh_av, pos_b, flux_b, dt, dr):
         # --- raytrace local source shard, then allreduce Gamma over ICI
@@ -79,13 +81,17 @@ def make_sharded_step(raytracer: Raytracer, mesh, chem: ChemistryParams):
                                         sl(xh_av), sl(phi_ion), chem)
         s1_s = jnp.sum(xi_s)
         s0_s = jnp.sum(1.0 - xi_s)
+        # absorbed photon rate for the photon-conservation log (each
+        # device sums its cell shard of the replicated Gamma)
+        ab_s = jnp.sum(sl(phi_ion) * sl(ndens) * (1.0 - sl(xh_av))) * dr ** 3
         # gather updated fields back to replicated form
         xi = jax.lax.all_gather(xi_s, axes, tiled=True)
         xav = jax.lax.all_gather(xav_s, axes, tiled=True)
         conv_flag = jax.lax.psum(cf_s, axes)
         sum1 = jax.lax.psum(s1_s, axes)
         sum0 = jax.lax.psum(s0_s, axes)
-        return xi, xav, phi_ion, conv_flag, sum1, sum0
+        absorbed = jax.lax.psum(ab_s, axes)
+        return xi, xav, phi_ion, conv_flag, sum1, sum0, absorbed
 
     def step_with_tables(*args):
         return jax.jit(step)(raytracer.tables, *args)
@@ -140,43 +146,40 @@ def evolve3D_sharded(dt, dr, src_flux, src_pos, raytracer: Raytracer,
     N = cfg.N
     num_cells = N ** 3
     num_src = int(np.asarray(src_flux).shape[0])
-    conv_criterion = min(int(convergence_fraction * num_cells),
-                         (num_src - 1) / 3)
-
     dtype = cfg.dtype
     temp_d = jnp.asarray(np.asarray(temp), dtype=dtype).reshape(-1)
     ndens_d = jnp.asarray(np.asarray(ndens), dtype=dtype).reshape(-1)
     xh_d = jnp.asarray(np.asarray(xh), dtype=dtype).reshape(-1)
-    xh_av = xh_d
-    xh_intermed = xh_d
     pos_b, flux_b = prepare_sources_sharded(raytracer, mesh, src_pos,
                                             src_flux)
     step = make_sharded_step(raytracer, mesh, chem)
+    emitted = float(np.sum(np.asarray(src_flux, dtype=np.float64))) \
+        * S_STAR_REF
 
-    prev_sum_xh1 = 2.0 * num_cells
-    prev_sum_xh0 = 2.0 * num_cells
-    converged = False
-    niter = 0
-    phi_ion = None
-
-    printlog(f"Calling evolve3D over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}...",
+    printlog(f"Calling evolve3D over mesh "
+             f"{dict(zip(mesh.axis_names, mesh.devices.shape))}...",
              logfile, quiet)
-    while not converged and niter < max_iterations:
-        niter += 1
+    state = {"xh_av": xh_d, "xh_intermed": xh_d, "phi_ion": None}
+
+    def iteration(niter):
         t0 = time.time()
-        xh_intermed, xh_av, phi_ion, conv_flag, sum_xh1, sum_xh0 = step(
-            ndens_d, temp_d, xh_d, xh_av, pos_b, flux_b,
-            jnp.asarray(dt, dtype), jnp.asarray(dr, dtype))
-        conv_flag, sum_xh1, sum_xh0 = jax.device_get(
-            (conv_flag, sum_xh1, sum_xh0))
-        printlog(f"Iteration {niter} took {time.time()-t0:.3f} s; "
-                 f"non-converged: {int(conv_flag)}", logfile, quiet)
-        rel1 = abs((sum_xh1 - prev_sum_xh1) / sum_xh1) if sum_xh1 > 0 else 1.0
-        rel0 = abs((sum_xh0 - prev_sum_xh0) / sum_xh0) if sum_xh0 > 0 else 1.0
-        converged = (conv_flag < conv_criterion) or (
-            (rel1 < convergence_fraction) and (rel0 < convergence_fraction))
-        prev_sum_xh1, prev_sum_xh0 = sum_xh1, sum_xh0
+        (xh_intermed, xh_av, phi_ion, conv_flag, sum_xh1, sum_xh0,
+         absorbed) = step(ndens_d, temp_d, xh_d, state["xh_av"], pos_b,
+                          flux_b, jnp.asarray(dt, dtype),
+                          jnp.asarray(dr, dtype))
+        conv_flag, sum_xh1, sum_xh0, absorbed = jax.device_get(
+            (conv_flag, sum_xh1, sum_xh0, absorbed))
+        printlog(f"Iteration {niter} took {time.time()-t0:.3f} s.",
+                 logfile, quiet)
+        state.update(xh_av=xh_av, xh_intermed=xh_intermed, phi_ion=phi_ion)
+        loss = (1.0 - float(absorbed) / emitted) if emitted > 0 else 0.0
+        return IterationResult(int(conv_flag), float(sum_xh1),
+                               float(sum_xh0), photon_loss=loss)
+
+    run_convergence_loop(iteration, num_cells, num_src,
+                         convergence_fraction, max_iterations,
+                         logfile, quiet)
 
     shape3 = (N, N, N)
-    return (np.asarray(xh_intermed).reshape(shape3),
-            np.asarray(phi_ion).reshape(shape3))
+    return (np.asarray(state["xh_intermed"]).reshape(shape3),
+            np.asarray(state["phi_ion"]).reshape(shape3))

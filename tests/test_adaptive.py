@@ -16,13 +16,13 @@ ND = 1.0e-3
 
 def _adaptive(N, R, **kw):
     return AdaptiveRaytracer(N, R, SIG, grey_bins(), batch_size=2,
-                             dtype=jnp.float64, avg_dens=ND, **kw)
+                             dtype=jnp.float64, **kw)
 
 
 def test_bucket_assignment_monotone():
     rt = _adaptive(32, 16.0)
     flux = np.array([1e-4, 1e-2, 1.0, 1e2])
-    b = rt.assign_buckets(flux, DR)
+    b = rt.assign_buckets(flux, DR, ND)
     assert np.all(np.diff(b) >= 0)          # brighter -> bigger bucket
     r_s = stromgren_radius_cells(flux, DR, ND)
     assert np.all(r_s[1:] > r_s[:-1])
@@ -86,7 +86,7 @@ def test_mixed_catalog_additivity():
     rt_a = _adaptive(N, R)
     phi_a, st = rt_a.trace(nd, xh, src, flux, DR, stats=True)
     total = np.zeros((N, N, N))
-    b = rt_a.assign_buckets(flux, DR)
+    b = rt_a.assign_buckets(flux, DR, ND)
     for k, eng in enumerate(rt_a.engines):
         sel = np.nonzero(b == k)[0]
         if sel.size:
