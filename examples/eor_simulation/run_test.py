@@ -58,6 +58,8 @@ def main():
 
     sim = pc2r.C2Ray_CubeP3M(paramfile, args.N, use_gpu=True)
 
+    xh_initial = np.asarray(sim.xh).copy()
+    steps_executed = 0
     for k in range(len(zlist) - 1):
         zi, zf = zlist[k], zlist[k + 1]
         pc2r.printlog(f"=== slice z = {zi:.3f} -> {zf:.3f} ===", sim.logfile)
@@ -68,9 +70,16 @@ def main():
         for t in range(args.num_steps):
             sim.cosmo_evolve(dt)
             sim.evolve3D(dt, normflux, srcpos)
+            steps_executed += 1
         sim.write_output(zf)
 
-    pc2r.printlog("EoR run complete.", sim.logfile)
+    if steps_executed == 0:
+        raise SystemExit("ERROR: zero timesteps executed "
+                         "(num_slices/num_steps too small)")
+    if np.array_equal(np.asarray(sim.xh), xh_initial):
+        raise SystemExit(f"ERROR: ionized fraction unchanged after "
+                         f"{steps_executed} steps; the run did not evolve")
+    pc2r.printlog(f"EoR run complete ({steps_executed} steps).", sim.logfile)
 
 
 if __name__ == "__main__":

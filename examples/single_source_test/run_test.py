@@ -97,9 +97,11 @@ if not native_available():
     sys.exit(1)
 
 xh_oracle = sim.xh.copy()
+xh_initial = sim.xh.copy()
 temp = sim.temp.copy()
 tinit = time.time()
 
+steps_executed = 0
 for k in range(len(zred_array) - 1):
     zi, zf = zred_array[k], zred_array[k + 1]
     dt = sim.set_timestep(zi, zf, num_steps_between_slices)
@@ -109,8 +111,21 @@ for k in range(len(zred_array) - 1):
         sim.evolve3D(dt, srcflux, srcpos)
         xh_oracle = oracle_evolve_loop(dt, sim.dr, xh_oracle, sim.ndens,
                                        temp)
+        steps_executed += 1
 
 pc2r.printlog(f"Done. Final time: {time.time()-tinit:.3f} s", sim.logfile)
+
+# Guard against vacuous passes: the error statistics below are only
+# meaningful if the run actually evolved the field (e.g. --numreds 1
+# yields len(zred_array)-1 == 0 slices and would trivially "pass").
+if steps_executed == 0:
+    print("ERROR: zero timesteps executed (need --numreds >= 2); "
+          "no comparison was performed")
+    sys.exit(2)
+if np.array_equal(np.asarray(sim.xh), xh_initial):
+    print("ERROR: ionized fraction did not change over "
+          f"{steps_executed} steps; the run did not evolve")
+    sys.exit(2)
 
 # ---------------- error statistics (run_test.py:70-118) -----------------
 xfrac_tpu = sim.xh

@@ -64,6 +64,10 @@ for k in range(len(zreds) - 1):
                       sim.logfile)
         dens0 = sim.ndens.copy()
 
+if len(vols) < 2:
+    print(f"ERROR: only {len(vols)} timesteps executed; "
+          "monotonicity check needs at least 2 (vacuous pass guard)")
+    sys.exit(2)
 ok = all(b >= a for a, b in zip(vols, vols[1:]))
 print("ionized volume monotonic:", ok)
 print("final redshift:", f"{sim.zred:.4f}", "(from", f"{zreds[0]:.4f})")
