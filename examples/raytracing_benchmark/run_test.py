@@ -32,8 +32,14 @@ def main():
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--dtype", default="float32")
-    parser.add_argument("--engine", default="cheb", choices=["cheb", "flat"])
+    parser.add_argument("--engine", default="cheb",
+                        choices=["cheb", "pallas", "flat"])
+    parser.add_argument("--sed", default="grey", choices=["grey", "bb"],
+                        help="grey analytic bins or the production 32-bin "
+                             "black-body quadrature (bench.py config)")
     parser.add_argument("-o", default="timings.pkl")
+    parser.add_argument("--json", default=None,
+                        help="also write results as JSON to this path")
     args = parser.parse_args()
 
     import jax
@@ -52,17 +58,29 @@ def main():
     xh = jnp.asarray(1.2e-3 * np.ones(N ** 3), dtype)
     dr = jnp.asarray(6.7e20, dtype)
 
+    if args.sed == "bb":
+        from pyc2ray_tpu.radiation import BlackBodySource
+        from pyc2ray_tpu.radiation.spectral_bins import make_spectral_bins
+        from pyc2ray_tpu.constants import ev2fr
+        fmin, fmax = ev2fr * 13.598, 10 * ev2fr * 54.416
+        bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
+                                  fmin, fmax, panels=4, nodes=8)
+    else:
+        bins = grey_bins()
+
     results = {"N": N, "batch_size": args.batch, "nreps": args.reps,
-               "ASORA": "pyc2ray-tpu", "timings": {}}
+               "ASORA": "pyc2ray-tpu", "engine": args.engine,
+               "sed": args.sed, "timings": {}}
     def sync(x):
         # block_until_ready is unreliable on the axon TPU relay; force
         # completion through a value dependency
         return float(jnp.ravel(x)[0])
 
     for R in args.R:
-        if args.engine == "cheb":
-            rt = ChebRaytracer(N, R, 6.30e-18, grey_bins(),
-                               batch_size=args.batch, dtype=dtype)
+        if args.engine in ("cheb", "pallas"):
+            rt = ChebRaytracer(N, R, 6.30e-18, bins,
+                               batch_size=args.batch, dtype=dtype,
+                               use_pallas=(args.engine == "pallas"))
         else:
             cfg = RaytraceConfig(N=N, R_max_LLS=R, sig=6.30e-18,
                                  batch_size=args.batch, dtype=dtype,
@@ -84,11 +102,23 @@ def main():
             norm = t / (ns * 4.0 / 3.0 * np.pi * R ** 3)
             results["timings"][(R, ns)] = {"t": t, "ns_per_cell": 1e9 * norm}
             print(f"R={R:6.1f} Ns={ns:7d}: {t:8.3f} s  "
-                  f"{1e9*norm:8.3f} ns/cell-update")
+                  f"{1e9*norm:8.3f} ns/cell-update", flush=True)
+            _save(results, args)
+    print("sweep complete")
 
+
+def _save(results, args):
+    import json
     with open(args.o, "wb") as f:
         pickle.dump(results, f)
-    print(f"saved {args.o}")
+    if args.json:
+        import jax
+        jres = dict(results)
+        jres["timings"] = {f"R={R},Ns={ns}": v
+                           for (R, ns), v in results["timings"].items()}
+        jres["device"] = str(jax.devices()[0])
+        with open(args.json, "w") as f:
+            json.dump(jres, f, indent=1)
 
 
 if __name__ == "__main__":

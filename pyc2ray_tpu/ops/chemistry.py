@@ -82,10 +82,14 @@ def doric(xh_old, dt, temp, rhe, phi, p: ChemistryParams):
 
 
 @partial(jax.jit, static_argnames=())
-def global_pass(dt, ndens, temp, xh, xh_av, phi_ion, p: ChemistryParams):
+def global_pass(dt, ndens, temp, xh, xh_av, phi_ion, p: ChemistryParams,
+                mask=None):
     """Chemistry pass over the whole grid (chemistry.f90:13-110).
 
     All array arguments are same-shape (any shape; treated elementwise).
+    ``mask`` (optional bool array, same shape) excludes cells from the
+    non-convergence count — used for the dead padding rows of
+    non-divisible domain shards (parallel/domain.py).
 
     Returns
     -------
@@ -125,5 +129,7 @@ def global_pass(dt, ndens, temp, xh, xh_av, phi_ion, p: ChemistryParams):
     not_conv = ((jnp.abs(delta) > MIN_FRACTIONAL_CHANGE)
                 & (jnp.abs(delta / yh_entry) > MIN_FRACTIONAL_CHANGE)
                 & (yh_entry > MIN_FRACTION_OF_ATOMS))
+    if mask is not None:
+        not_conv = not_conv & mask
     conv_flag = jnp.sum(not_conv.astype(jnp.int32))
     return xh_int_fin, xh_av_fin, conv_flag

@@ -3,31 +3,44 @@
 The reference never decomposes the grid: every MPI rank holds all N^3
 cells and pays an O(N^3) Reduce+Bcast of Gamma per convergence iteration
 (reference: pyc2ray/evolve.py:361-371,433-437). Here the grid is sharded
-over a 2D device mesh along the (i, j) axes (k stays local so the minor
-axis remains contiguous), and communication drops to the halo surface:
+over a ("di", "dj", "dk") device mesh along the (i, j, k) axes and
+communication drops to the halo surface:
 
-  1. ``halo_gather``: each device extends its (Li, Lj, N) slab with
+  1. ``halo_gather``: each device extends its local block with
      ``ceil(R)``-wide halos of neighbor data via ring ``ppermute`` along
      each decomposed axis (multi-hop when the halo exceeds the local
-     extent); the k axis is wrap-padded locally. Global periodicity falls
-     out of the ring topology.
+     extent); axes with one device are wrap-padded locally. Global
+     periodicity falls out of the ring topology.
   2. Every device sweeps the sources IT OWNS (a source's whole
-     ``(2R+1)^3`` dependency cube lives in its extended slab — the
+     ``(2R+1)^3`` dependency cube lives in its extended block — the
      short-characteristics causality never crosses devices mid-sweep).
+     Sources whose cube lies entirely inside the local block ("interior"
+     sources) are swept from the un-exchanged local data CONCURRENTLY
+     with the halo gather — the sweep has no data dependency on the
+     collectives, so XLA overlaps communication with compute.
   3. ``halo_reduce``: Gamma accumulated into halo cells is ppermuted back
      and added to the owning device's core — the exact adjoint of the
      gather.
 
-Per iteration a device communicates O(Li*Lj*R) cells instead of O(N^3):
-for N=256 on a 4x2 mesh with R=30 that is ~50x less traffic than the
+Per iteration a device communicates O(L^2 * R) cells instead of O(N^3):
+for N=256 on a 2x2x2 mesh with R=30 that is ~40x less traffic than the
 reference's replicated reduce, and it rides nearest-neighbor ICI links.
 
+Mesh sizes do NOT need to divide N: a non-divisible axis stores
+ceil(N/p) rows per device (the last device padded) and falls back to an
+``all_gather`` + mod-N window for the halo exchange on that axis —
+O(N * face) traffic instead of O(halo * face), still far below the
+reference's O(N^3), so any pod-slice device count can be meshed.
+Divisible axes (the production case) always take the optimal
+multi-hop-ppermute path.
+
 Chemistry is elementwise and runs shard-local with no communication;
-convergence reductions are two scalar psums.
+convergence reductions are scalar psums.
 """
 
 import time
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -44,15 +57,26 @@ from ..utils.logutils import printlog
 __all__ = ["make_domain_mesh", "DomainDecomposition", "evolve3D_domain"]
 
 
-def make_domain_mesh(pi=None, pj=1, devices=None):
-    """2D ("di", "dj") mesh decomposing the grid's (i, j) axes."""
+def make_domain_mesh(pi=None, pj=1, pk=1, devices=None):
+    """("di", "dj", "dk") mesh decomposing the grid's (i, j, k) axes.
+
+    ``pi`` defaults to using all devices: pi = n_dev // (pj * pk)."""
     if devices is None:
         devices = jax.devices()
     n_dev = len(devices)
     if pi is None:
-        pi = n_dev // pj
-    assert pi * pj <= n_dev, f"mesh {pi}x{pj} > {n_dev} devices"
-    return Mesh(np.array(devices[:pi * pj]).reshape(pi, pj), ("di", "dj"))
+        pi = n_dev // (pj * pk)
+    assert pi * pj * pk <= n_dev, f"mesh {pi}x{pj}x{pk} > {n_dev} devices"
+    return Mesh(np.array(devices[:pi * pj * pk]).reshape(pi, pj, pk),
+                ("di", "dj", "dk"))
+
+
+class _Axis(NamedTuple):
+    name: str
+    p: int          # devices along this axis
+    Lp: int         # rows per device (ceil(N/p); last device padded)
+    Np: int         # padded global extent = p * Lp
+    divisible: bool
 
 
 def _ring_pull(x, axis_name, n, s):
@@ -84,7 +108,8 @@ class DomainDecomposition:
     ----------
     engine : ops.raytrace_cheb.ChebRaytracer
         Supplies N and the box geometry (halo widths = box padding).
-    mesh : jax.sharding.Mesh with axes ("di", "dj").
+    mesh : jax.sharding.Mesh with axes from ("di", "dj", "dk"); axes may
+        be absent (treated as size 1). Axis sizes need not divide N.
     """
 
     def __init__(self, engine, mesh):
@@ -100,16 +125,69 @@ class DomainDecomposition:
         g = engine.geom
         self.hlo = g.c                 # low-side halo width
         self.hhi = g.Dc - 1 - g.c      # high-side halo width
-        self.pi, self.pj = mesh.devices.shape
-        assert self.N % self.pi == 0 and self.N % self.pj == 0, \
-            f"N={self.N} not divisible by mesh {self.pi}x{self.pj}"
-        self.Li = self.N // self.pi
-        self.Lj = self.N // self.pj
+        N = self.N
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self.axes = []
+        for name in ("di", "dj", "dk"):
+            p = int(sizes.get(name, 1))
+            Lp = -(-N // p)
+            self.axes.append(_Axis(name, p, Lp, p * Lp,
+                                   divisible=(N % p == 0)))
+        self.padded = any(not a.divisible for a in self.axes)
+        # back-compat attributes
+        self.pi, self.pj, self.pk = (a.p for a in self.axes)
+        self.Li, self.Lj, self.Lk = (a.Lp for a in self.axes)
+        self._axis_names = tuple(a.name for a in self.axes
+                                 if a.name in mesh.axis_names)
 
-    # -- halo exchange --------------------------------------------------
-    def _gather_axis(self, f, axis, axis_name, n, L):
+    # -- helpers ---------------------------------------------------------
+    def _spec(self, *extra_none):
+        """Field PartitionSpec over the mesh's axes."""
+        names = [a.name if a.name in self.mesh.axis_names else None
+                 for a in self.axes]
+        return P(*names, *extra_none)
+
+    def _src_spec(self):
+        return P(tuple(self._axis_names))
+
+    def pad_global(self, arr, fill=0.0):
+        """(N,N,N) -> (Np_i, Np_j, Np_k) with constant fill in dead rows."""
+        if not self.padded:
+            return arr
+        pads = [(0, a.Np - self.N) for a in self.axes]
+        return jnp.pad(arr, pads, constant_values=fill)
+
+    def strip_global(self, arr):
+        if not self.padded:
+            return arr
+        return arr[:self.N, :self.N, :self.N]
+
+    def _valid_mask(self):
+        """Per-cell validity of the local block (True where the cell is a
+        real grid cell, False in the dead padding of the last shard).
+        Returns None when no axis is padded."""
+        if not self.padded:
+            return None
+        m = None
+        for dim, ax in enumerate(self.axes):
+            if ax.divisible:
+                continue
+            d = lax.axis_index(ax.name) if ax.p > 1 else 0
+            rows = d * ax.Lp + jnp.arange(ax.Lp)
+            v = rows < self.N
+            shape = [1, 1, 1]
+            shape[dim] = ax.Lp
+            v = v.reshape(shape)
+            m = v if m is None else m & v
+        if m is None:
+            return None
+        return jnp.broadcast_to(m, tuple(a.Lp for a in self.axes))
+
+    # -- halo exchange ---------------------------------------------------
+    def _gather_axis_ring(self, f, axis, axis_name, n, L):
         """Extend local ``f`` along ``axis`` with halos from ring
-        neighbors (low side ``self.hlo``, high side ``self.hhi``)."""
+        neighbors (low side ``self.hlo``, high side ``self.hhi``).
+        Optimal multi-hop ppermute; requires N % n == 0."""
         lows, highs = [], []
         for s, w in _halo_pieces(self.hlo, L):
             # rows [-(s-1)L - w, -(s-1)L) relative to my start = the LAST
@@ -121,9 +199,9 @@ class DomainDecomposition:
             highs.append(_ring_pull(piece, axis_name, n, -s))
         return jnp.concatenate(lows[::-1] + [f] + highs, axis=axis)
 
-    def _reduce_axis(self, fx, axis, axis_name, n, L):
-        """Adjoint of ``_gather_axis``: add my halo contributions into the
-        neighbors' cores and return the (halo-stripped) local sum."""
+    def _reduce_axis_ring(self, fx, axis, axis_name, n, L):
+        """Adjoint of ``_gather_axis_ring``: add my halo contributions into
+        the neighbors' cores and return the (halo-stripped) local sum."""
         lo_pieces = _halo_pieces(self.hlo, L)
         hi_pieces = _halo_pieces(self.hhi, L)
         core = lax.slice_in_dim(fx, self.hlo, self.hlo + L, axis=axis)
@@ -147,134 +225,308 @@ class DomainDecomposition:
             off += w
         return core
 
+    def _gather_axis_compat(self, f, axis, ax: _Axis):
+        """Halo extension for a NON-divisible axis: all_gather the padded
+        global axis and take the mod-N window [g0-hlo, g0+Lp+hhi).
+        O(N * face) traffic — the compat path; divisible meshes never
+        use it."""
+        ag = lax.all_gather(f, ax.name, axis=axis, tiled=True)  # Np rows
+        d = lax.axis_index(ax.name)
+        g0 = d * ax.Lp
+        ext = self.hlo + ax.Lp + self.hhi
+        idx = (g0 - self.hlo + jnp.arange(ext)) % self.N
+        return jnp.take(ag, idx, axis=axis)
+
+    def _reduce_axis_compat(self, fx, axis, ax: _Axis):
+        """Adjoint of ``_gather_axis_compat``: scatter-add the extended
+        rows into a global-length axis (mod N), psum over the axis ring,
+        slice back my core rows."""
+        d = lax.axis_index(ax.name)
+        g0 = d * ax.Lp
+        E = fx.shape[axis]
+        idx = (g0 - self.hlo + jnp.arange(E)) % self.N
+        moved = jnp.moveaxis(fx, axis, 0)
+        glob = jnp.zeros((self.N,) + moved.shape[1:], fx.dtype)
+        glob = glob.at[idx].add(moved)
+        glob = lax.psum(glob, ax.name)
+        if ax.Np > self.N:
+            pad_cfg = [(0, 0)] * glob.ndim
+            pad_cfg[0] = (0, ax.Np - self.N)
+            glob = jnp.pad(glob, pad_cfg)
+        core = lax.dynamic_slice_in_dim(glob, g0, ax.Lp, axis=0)
+        return jnp.moveaxis(core, 0, axis)
+
+    def _gather_axis(self, f, axis, ax: _Axis):
+        if ax.p == 1:
+            pad_cfg = [(0, 0)] * f.ndim
+            pad_cfg[axis] = (self.hlo, self.hhi)
+            return jnp.pad(f, pad_cfg, mode="wrap")
+        if ax.divisible:
+            return self._gather_axis_ring(f, axis, ax.name, ax.p, ax.Lp)
+        return self._gather_axis_compat(f, axis, ax)
+
+    def _reduce_axis(self, fx, axis, ax: _Axis):
+        if ax.p == 1:
+            # fold the wrap padding locally
+            N = self.N
+            sl = [slice(None)] * fx.ndim
+            sl[axis] = slice(self.hlo, self.hlo + N)
+            core = fx[tuple(sl)]
+            if self.hhi > 0:
+                sl[axis] = slice(self.hlo + N, None)
+                hi = fx[tuple(sl)]
+                pad_cfg = [(0, 0, 0)] * fx.ndim
+                pad_cfg[axis] = (0, N - self.hhi, 0)
+                core = core + lax.pad(hi, jnp.zeros((), fx.dtype), pad_cfg)
+            if self.hlo > 0:
+                sl[axis] = slice(0, self.hlo)
+                lo = fx[tuple(sl)]
+                pad_cfg = [(0, 0, 0)] * fx.ndim
+                pad_cfg[axis] = (N - self.hlo, 0, 0)
+                core = core + lax.pad(lo, jnp.zeros((), fx.dtype), pad_cfg)
+            return core
+        if ax.divisible:
+            return self._reduce_axis_ring(fx, axis, ax.name, ax.p, ax.Lp)
+        return self._reduce_axis_compat(fx, axis, ax)
+
     def halo_gather(self, f):
-        """(Li, Lj, N) local slab -> extended slab with neighbor halos in
-        i/j and wrap padding in k."""
-        fx = self._gather_axis(f, 0, "di", self.pi, self.Li)
-        fx = self._gather_axis(fx, 1, "dj", self.pj, self.Lj)
-        return jnp.pad(fx, ((0, 0), (0, 0), (self.hlo, self.hhi)),
-                       mode="wrap")
+        """Local block -> extended block with neighbor halos along
+        decomposed axes and wrap padding along single-device axes."""
+        for dim, ax in enumerate(self.axes):
+            f = self._gather_axis(f, dim, ax)
+        return f
 
     def halo_reduce(self, fx):
-        """Extended accumulator -> (Li, Lj, N) local slab, halo
-        contributions added to their owners."""
-        # fold the k wrap locally first
-        N = self.N
-        core = fx[:, :, self.hlo:self.hlo + N]
-        if self.hhi > 0:
-            hi = fx[:, :, self.hlo + N:]
-            core = core.at[:, :, :self.hhi].add(hi)
-        lo = fx[:, :, :self.hlo]
-        core = core.at[:, :, N - self.hlo:].add(lo)
-        core = self._reduce_axis(core, 0, "di", self.pi, self.Li)
-        core = self._reduce_axis(core, 1, "dj", self.pj, self.Lj)
-        return core
+        """Extended accumulator -> local block, halo contributions added
+        to their owners (the exact adjoint of ``halo_gather``)."""
+        for dim in (2, 1, 0):
+            fx = self._reduce_axis(fx, dim, self.axes[dim])
+        return fx
+
+    def _pad_local(self, f):
+        """Zero-extend the local block to the extended frame WITHOUT
+        communication (wrap-pad single-device axes). Used for the
+        interior-source sweep that overlaps the halo gather."""
+        for dim, ax in enumerate(self.axes):
+            pad_cfg = [(0, 0)] * f.ndim
+            pad_cfg[dim] = (self.hlo, self.hhi)
+            if ax.p == 1:
+                f = jnp.pad(f, pad_cfg, mode="wrap")
+            else:
+                f = jnp.pad(f, pad_cfg)
+        return f
+
+    def _strip_local(self, fx):
+        """Extended accumulator -> core block (drop halos, no comms).
+        Adjoint of ``_pad_local`` for accumulators that never wrote into
+        decomposed-axis halos (interior sweeps); single-device axes fold
+        their wrap halos."""
+        for dim in (2, 1, 0):
+            ax = self.axes[dim]
+            if ax.p == 1:
+                fx = self._reduce_axis(fx, dim, ax)
+            else:
+                sl = [slice(None)] * fx.ndim
+                sl[dim] = slice(self.hlo, self.hlo + ax.Lp)
+                fx = fx[tuple(sl)]
+        return fx
 
     # -- source bucketing (host side) ------------------------------------
     def prepare_sources(self, src_pos, src_flux):
-        """Bucket sources by owning device; return per-device batched
-        (pos, flux) arrays with positions in extended-local coordinates
-        (= unpadded local coordinates: box start i_loc-c+hlo = i_loc).
+        """Bucket sources by owning device and split interior/boundary.
 
-        Shapes: pos (n_dev*nb, B, 3) int32, flux (n_dev*nb, B) — leading
-        axis shard_maps over ("di","dj"). All devices get the same batch
-        count (max over devices); padding sources have zero flux."""
+        Interior sources are those whose (2R+1)^3 dependency cube lies
+        entirely inside the owner's block along every decomposed axis —
+        they are swept from local data, overlapping the halo exchange.
+
+        Returns ``(pos_int, flux_int, pos_bnd, flux_bnd)`` with shapes
+        (n_dev*nb, B, 3) / (n_dev*nb, B); the leading axis shard_maps
+        over the mesh. Either pair is ``(None, None)`` when that class is
+        empty on every device. Positions are extended-local coordinates
+        (= unpadded local coordinates). All devices get the same batch
+        count; padding sources have zero flux."""
         B = self.engine.batch_size
         pos = np.asarray(src_pos, dtype=np.int64)
         flx = np.asarray(src_flux, dtype=np.float64)
-        oi = pos[:, 0] // self.Li
-        oj = pos[:, 1] // self.Lj
-        owner = oi * self.pj + oj
-        n_dev = self.pi * self.pj
-        counts = np.bincount(owner, minlength=n_dev)
-        nb = max(1, -(-int(counts.max()) // B))
-        out_pos = np.zeros((n_dev, nb * B, 3), dtype=np.int32)
-        out_flx = np.zeros((n_dev, nb * B), dtype=np.float64)
-        for d in range(n_dev):
-            sel = np.nonzero(owner == d)[0]
-            loc = pos[sel].copy()
-            loc[:, 0] -= (d // self.pj) * self.Li
-            loc[:, 1] -= (d % self.pj) * self.Lj
-            out_pos[d, :len(sel)] = loc
-            out_flx[d, :len(sel)] = flx[sel]
-        return (jnp.asarray(out_pos.reshape(n_dev * nb, B, 3)),
-                jnp.asarray(out_flx.reshape(n_dev * nb, B),
-                            dtype=self.engine.dtype))
+        ai, aj, ak = self.axes
+        oi = pos[:, 0] // ai.Lp
+        oj = pos[:, 1] // aj.Lp
+        ok = pos[:, 2] // ak.Lp
+        owner = (oi * aj.p + oj) * ak.p + ok
+        loc = pos.copy()
+        loc[:, 0] -= oi * ai.Lp
+        loc[:, 1] -= oj * aj.Lp
+        loc[:, 2] -= ok * ak.Lp
+        # interior test per decomposed axis: the box [l, l+Dc) must stay
+        # within [hlo, hlo + L_valid) of the extended frame, i.e.
+        # hlo <= l <= L_valid - 1 - hhi (L_valid < Lp on the last shard)
+        interior = np.ones(len(pos), dtype=bool)
+        for dim, ax in enumerate(self.axes):
+            if ax.p == 1:
+                continue
+            o = pos[:, dim] // ax.Lp
+            l = loc[:, dim]
+            L_valid = np.minimum(ax.Lp, self.N - o * ax.Lp)
+            interior &= (l >= self.hlo) & (l <= L_valid - 1 - self.hhi)
+
+        n_dev = ai.p * aj.p * ak.p
+
+        def bucket(sel_mask):
+            sel_all = np.nonzero(sel_mask)[0]
+            if len(sel_all) == 0:
+                return None, None
+            counts = np.bincount(owner[sel_all], minlength=n_dev)
+            nb = max(1, -(-int(counts.max()) // B))
+            out_pos = np.zeros((n_dev, nb * B, 3), dtype=np.int32)
+            out_flx = np.zeros((n_dev, nb * B), dtype=np.float64)
+            for d in range(n_dev):
+                sel = sel_all[owner[sel_all] == d]
+                out_pos[d, :len(sel)] = loc[sel]
+                out_flx[d, :len(sel)] = flx[sel]
+            return (jnp.asarray(out_pos.reshape(n_dev * nb, B, 3)),
+                    jnp.asarray(out_flx.reshape(n_dev * nb, B),
+                                dtype=self.engine.dtype))
+
+        pos_i, flux_i = bucket(interior)
+        pos_b, flux_b = bucket(~interior)
+        return pos_i, flux_i, pos_b, flux_b
 
     # -- sharded trace ----------------------------------------------------
-    def _trace_shard(self, tb, nd_loc, xh_loc, pos_b, flux_b, dr):
-        nhi_ext = self.halo_gather(nd_loc * (1.0 - xh_loc))
-        phi_ext, heat_ext = self.engine.trace_extended(
-            tb, nhi_ext, pos_b, flux_b, dr)
-        phi = self.halo_reduce(phi_ext)
-        heat = self.halo_reduce(heat_ext) if heat_ext is not None else None
+    def _trace_shard(self, tb, nd_loc, xh_loc, srcs, dr):
+        """Raytrace the local block's owned sources.
+
+        Interior sources sweep the un-exchanged local data; they carry no
+        data dependency on the halo-gather collectives, so XLA overlaps
+        the exchange with their compute."""
+        pos_i, flux_i, pos_b, flux_b = srcs
+        eng = self.engine
+        nhi = nd_loc * (1.0 - xh_loc)
+        phi = heat = None
+        if pos_i is not None:
+            phi_ie, heat_ie = eng.trace_extended(
+                tb, self._pad_local(nhi), pos_i, flux_i, dr)
+            phi = self._strip_local(phi_ie)
+            heat = self._strip_local(heat_ie) if heat_ie is not None \
+                else None
+        if pos_b is not None:
+            nhi_ext = self.halo_gather(nhi)
+            phi_be, heat_be = eng.trace_extended(tb, nhi_ext, pos_b,
+                                                 flux_b, dr)
+            phi_b = self.halo_reduce(phi_be)
+            phi = phi_b if phi is None else phi + phi_b
+            if heat_be is not None:
+                heat_b = self.halo_reduce(heat_be)
+                heat = heat_b if heat is None else heat + heat_b
+        if phi is None:
+            phi = jnp.zeros(nhi.shape, dtype=eng.dtype)
+            if eng.do_heating:
+                heat = jnp.zeros(nhi.shape, dtype=eng.dtype)
         return phi, heat
 
     def trace(self, ndens, xh_av, src_pos, src_flux, dr):
         """Domain-decomposed multi-device Gamma. ndens/xh: (N,N,N) host or
-        replicated arrays; returns (N,N,N) Gamma (replicated)."""
+        replicated arrays; returns (N,N,N) Gamma."""
         eng = self.engine
         nd = jnp.asarray(np.asarray(ndens), eng.dtype).reshape((self.N,) * 3)
         xh = jnp.asarray(np.asarray(xh_av), eng.dtype).reshape((self.N,) * 3)
-        pos_b, flux_b = self.prepare_sources(src_pos, src_flux)
+        nd = self.pad_global(nd, 1.0)
+        xh = self.pad_global(xh, 0.5)
+        srcs = self.prepare_sources(src_pos, src_flux)
+        spec = self._spec(); sspec = self._src_spec()
+        in_specs = [P(), spec, spec]
+        args = [eng.tables, nd, xh]
+        for s in srcs:
+            if s is not None:
+                in_specs.append(sspec)
+                args.append(s)
+        in_specs.append(P())
+        args.append(jnp.asarray(dr, eng.dtype))
+        n_src_args = len(args) - 4
 
-        @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(), P("di", "dj", None), P("di", "dj", None),
-                           P(("di", "dj")), P(("di", "dj")), P()),
-                 out_specs=P("di", "dj", None), check_vma=False)
-        def f(tb, nd_, xh_, pos, flux, dr_):
-            phi, _ = self._trace_shard(tb, nd_, xh_, pos, flux, dr_)
+        @partial(shard_map, mesh=self.mesh, in_specs=tuple(in_specs),
+                 out_specs=spec, check_vma=False)
+        def f(tb, nd_, xh_, *rest):
+            sa = list(rest[:n_src_args])
+            dr_ = rest[n_src_args]
+            it = iter(sa)
+            full = [next(it) if s is not None else None for s in srcs]
+            phi, _ = self._trace_shard(tb, nd_, xh_, tuple(full), dr_)
             return phi
 
-        phi = f(eng.tables, nd, xh, pos_b, flux_b,
-                jnp.asarray(dr, eng.dtype))
-        return phi
+        phi = f(*args)
+        return self.strip_global(phi)
 
     # -- full sharded evolve step ----------------------------------------
-    def make_step(self, chem: ChemistryParams):
+    def make_step(self, chem: ChemistryParams, srcs):
         """Jitted domain-decomposed (raytrace + chemistry) iteration.
 
-        All fields stay sharded (Li, Lj, N) across iterations — nothing
-        is ever replicated or gathered; scalars are the only psums.
-        With a heating engine the step also returns the local heating
-        rates (for the post-convergence thermal update)."""
+        All fields stay sharded across iterations — nothing is ever
+        replicated or gathered; scalars are the only psums. With a
+        heating engine the step also returns the local heating rates
+        (for the post-convergence thermal update). ``srcs`` is the tuple
+        from ``prepare_sources`` (the step is specialized on which of
+        the interior/boundary sets are present)."""
         eng = self.engine
-        spec = P("di", "dj", None)
+        spec = self._spec()
+        sspec = self._src_spec()
         heating = eng.do_heating
+        names = self._axis_names
+        have = [s is not None for s in srcs[0::2]]  # pos_int, pos_bnd
+
+        src_specs = tuple(sspec for s in srcs if s is not None)
 
         @partial(shard_map, mesh=self.mesh,
-                 in_specs=(P(), spec, spec, spec, spec,
-                           P(("di", "dj")), P(("di", "dj")), P(), P()),
+                 in_specs=(P(), spec, spec, spec, spec) + src_specs
+                 + (P(), P()),
                  out_specs=((spec, spec, spec, spec, P(), P(), P(), P())
                             if heating else
                             (spec, spec, spec, P(), P(), P(), P())),
                  check_vma=False)
-        def step(tb, ndens, temp, xh, xh_av, pos_b, flux_b, dt, dr):
-            phi, heat = self._trace_shard(tb, ndens, xh_av, pos_b,
-                                          flux_b, dr)
+        def step(tb, ndens, temp, xh, xh_av, *rest):
+            ns = len(src_specs)
+            sa = list(rest[:ns])
+            dt, dr = rest[ns], rest[ns + 1]
+            it = iter(sa)
+            full = []
+            for k in range(2):
+                if have[k]:
+                    full += [next(it), next(it)]
+                else:
+                    full += [None, None]
+            phi, heat = self._trace_shard(tb, ndens, xh_av, tuple(full), dr)
             sh = phi.shape
+            mask = self._valid_mask()
             xi, xav, cf = global_pass(
                 dt, ndens.reshape(-1), temp.reshape(-1), xh.reshape(-1),
-                xh_av.reshape(-1), phi.reshape(-1), chem)
-            s1 = jax.lax.psum(jnp.sum(xi), ("di", "dj"))
-            s0 = jax.lax.psum(jnp.sum(1.0 - xi), ("di", "dj"))
-            cf = jax.lax.psum(cf, ("di", "dj"))
-            ab = jax.lax.psum(
-                jnp.sum(phi * ndens * (1.0 - xh_av)), ("di", "dj")) * dr ** 3
+                xh_av.reshape(-1), phi.reshape(-1), chem,
+                mask=None if mask is None else mask.reshape(-1))
+            xi3 = xi.reshape(sh)
+            w = 1.0 if mask is None else mask.astype(xi.dtype).reshape(sh)
+            s1 = lax.psum(jnp.sum(xi3 * w), names)
+            s0 = lax.psum(jnp.sum((1.0 - xi3) * w), names)
+            cf = lax.psum(cf, names)
+            ab = lax.psum(
+                jnp.sum(phi * ndens * (1.0 - xh_av)), names) * dr ** 3
             if heating:
-                return (xi.reshape(sh), xav.reshape(sh), phi, heat,
-                        cf, s1, s0, ab)
-            return (xi.reshape(sh), xav.reshape(sh), phi, cf, s1, s0, ab)
+                return (xi3, xav.reshape(sh), phi, heat, cf, s1, s0, ab)
+            return (xi3, xav.reshape(sh), phi, cf, s1, s0, ab)
 
-        def step_with_tables(*args):
-            return jax.jit(step)(eng.tables, *args)
+        jstep = jax.jit(step)
+
+        def step_with_tables(ndens, temp, xh, xh_av, dt, dr):
+            sargs = []
+            for k in range(2):
+                if have[k]:
+                    sargs += [srcs[2 * k], srcs[2 * k + 1]]
+            return jstep(eng.tables, ndens, temp, xh, xh_av,
+                         *sargs, dt, dr)
         return step_with_tables
 
     def make_thermal_step(self, thermal, zred=0.0, nsub=16):
         """Sharded post-convergence temperature update (shard-local,
         zero communication — see ops/thermal.py)."""
         from ..ops.thermal import update_temperature
-        spec = P("di", "dj", None)
+        spec = self._spec()
 
         @partial(shard_map, mesh=self.mesh,
                  in_specs=(P(), spec, spec, spec, spec),
@@ -300,11 +552,14 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
     num_src = int(np.asarray(src_flux).shape[0])
     dtype = eng.dtype
     sh3 = (N, N, N)
-    temp_d = jnp.asarray(np.asarray(temp), dtype).reshape(sh3)
-    ndens_d = jnp.asarray(np.asarray(ndens), dtype).reshape(sh3)
-    xh_d = jnp.asarray(np.asarray(xh), dtype).reshape(sh3)
-    pos_b, flux_b = decomp.prepare_sources(src_pos, src_flux)
-    step = decomp.make_step(chem)
+    temp_d = decomp.pad_global(
+        jnp.asarray(np.asarray(temp), dtype).reshape(sh3), 1e4)
+    ndens_d = decomp.pad_global(
+        jnp.asarray(np.asarray(ndens), dtype).reshape(sh3), 1.0)
+    xh_d = decomp.pad_global(
+        jnp.asarray(np.asarray(xh), dtype).reshape(sh3), 0.5)
+    srcs = decomp.prepare_sources(src_pos, src_flux)
+    step = decomp.make_step(chem, srcs)
     emitted = float(np.sum(np.asarray(src_flux, dtype=np.float64))) \
         * S_STAR_REF
 
@@ -312,15 +567,18 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
     if thermal is not None and not heating:
         raise ValueError("thermal evolution requires a heating engine")
 
+    n_int = 0 if srcs[1] is None else int((np.asarray(srcs[1]) > 0).sum())
     printlog(f"Calling evolve3D over domain mesh "
-             f"{decomp.pi}x{decomp.pj} (halo {decomp.hlo}/{decomp.hhi})...",
+             f"{decomp.pi}x{decomp.pj}x{decomp.pk} "
+             f"(halo {decomp.hlo}/{decomp.hhi}, "
+             f"{n_int}/{num_src} interior sources overlap the exchange)...",
              logfile, quiet)
     state = {"xh_av": xh_d, "xh_intermed": xh_d,
              "phi_ion": None, "phi_heat": None}
 
     def iteration(niter):
         t0 = time.time()
-        out = step(ndens_d, temp_d, xh_d, state["xh_av"], pos_b, flux_b,
+        out = step(ndens_d, temp_d, xh_d, state["xh_av"],
                    jnp.asarray(dt, dtype), jnp.asarray(dr, dtype))
         if heating:
             (xh_intermed, xh_av, phi_ion, phi_heat,
@@ -343,12 +601,13 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
                          convergence_fraction, max_iterations,
                          logfile, quiet)
 
+    def out3(arr):
+        return np.asarray(decomp.strip_global(arr)).reshape(sh3)
+
     if thermal is not None:
         tstep = decomp.make_thermal_step(thermal, zred=float(zred))
         temp_new = tstep(jnp.asarray(dt, dtype), temp_d, ndens_d,
                          state["xh_av"], state["phi_heat"])
-        return (np.asarray(state["xh_intermed"]).reshape(sh3),
-                np.asarray(state["phi_ion"]).reshape(sh3),
-                np.asarray(temp_new).reshape(sh3))
-    return (np.asarray(state["xh_intermed"]).reshape(sh3),
-            np.asarray(state["phi_ion"]).reshape(sh3))
+        return (out3(state["xh_intermed"]), out3(state["phi_ion"]),
+                out3(temp_new))
+    return out3(state["xh_intermed"]), out3(state["phi_ion"])

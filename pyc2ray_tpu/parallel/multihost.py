@@ -67,20 +67,27 @@ def is_primary():
     return jax.process_index() == 0
 
 
-def global_domain_mesh(pi=None, pj=None):
-    """("di","dj") domain mesh over ALL chips of the job (all hosts).
+def global_domain_mesh(pi=None, pj=None, pk=None):
+    """("di","dj","dk") domain mesh over ALL chips of the job (all
+    hosts).
 
-    Defaults to the squarest factorization of the global device count
+    Defaults to the most-cubic factorization of the global device count
     so halo surfaces are minimized."""
     n = len(jax.devices())
-    if pi is None or pj is None:
-        pj = 1
-        for f in range(int(n ** 0.5), 0, -1):
+    if pi is None or pj is None or pk is None:
+        pk = 1
+        for f in range(int(round(n ** (1.0 / 3.0))), 0, -1):
             if n % f == 0:
+                pk = f
+                break
+        m = n // pk
+        pj = 1
+        for f in range(int(m ** 0.5), 0, -1):
+            if m % f == 0:
                 pj = f
                 break
-        pi = n // pj
-    return make_domain_mesh(pi, pj)
+        pi = m // pj
+    return make_domain_mesh(pi, pj, pk)
 
 
 def global_source_mesh():

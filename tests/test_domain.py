@@ -169,8 +169,95 @@ def test_multihost_helpers_single_process():
     assert multihost.is_primary()
     mesh = multihost.global_domain_mesh()
     assert mesh.devices.size == len(jax.devices())
-    assert mesh.axis_names == ("di", "dj")
-    pi, pj = mesh.devices.shape
-    assert pi * pj == 8 and {pi, pj} <= {1, 2, 4, 8}
+    assert mesh.axis_names == ("di", "dj", "dk")
+    pi, pj, pk = mesh.devices.shape
+    assert pi * pj * pk == 8 and {pi, pj, pk} <= {1, 2, 4, 8}
     smesh = multihost.global_source_mesh()
     assert smesh.axis_names == ("src", "space")
+
+
+# ---------------------------------------------------------------------------
+# 3D decomposition (dk axis), non-divisible meshes, interior overlap
+# ---------------------------------------------------------------------------
+
+def test_domain_trace_3d_mesh_2x2x2():
+    """Full 3D (2,2,2) mesh with a mix of interior sources (swept from
+    local data, overlapping the exchange) and boundary sources."""
+    N = 32
+    R = 3.0
+    rng = np.random.RandomState(7)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.9, (N, N, N))
+    src = rng.randint(0, N, size=(20, 3))
+    flux = rng.uniform(0.5, 3.0, 20)
+    eng = _engine(N, R)
+    dd = DomainDecomposition(eng, make_domain_mesh(2, 2, 2))
+    # the split must actually produce both classes for this config
+    pos_i, flux_i, pos_b, flux_b = dd.prepare_sources(src, flux)
+    assert pos_i is not None and pos_b is not None
+    n_assigned = int((np.asarray(flux_i) > 0).sum()
+                     + (np.asarray(flux_b) > 0).sum())
+    assert n_assigned == 20
+    phi_single = np.asarray(eng.trace(ndens, xh, src, flux, DR))
+    phi_dom = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_dom, phi_single, rtol=1e-13)
+
+
+def test_domain_trace_nondivisible_i_axis():
+    """N=20 on a (3,2,1) mesh: 20 % 3 != 0 -> the i axis takes the
+    padded all_gather compat path; j stays on the ppermute path."""
+    N = 20
+    R = 3.0
+    rng = np.random.RandomState(8)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.9, (N, N, N))
+    src = rng.randint(0, N, size=(11, 3))
+    flux = rng.uniform(0.5, 3.0, 11)
+    eng = _engine(N, R)
+    dd = DomainDecomposition(eng, make_domain_mesh(3, 2, 1))
+    assert dd.padded
+    phi_single = np.asarray(eng.trace(ndens, xh, src, flux, DR))
+    phi_dom = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_dom, phi_single, rtol=1e-12)
+
+
+def test_domain_trace_nondivisible_k_axis():
+    """Non-divisible decomposition of the minor (k) axis."""
+    N = 20
+    R = 4.0
+    rng = np.random.RandomState(9)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.9, (N, N, N))
+    src = rng.randint(0, N, size=(7, 3))
+    flux = rng.uniform(0.5, 3.0, 7)
+    eng = _engine(N, R)
+    dd = DomainDecomposition(eng, make_domain_mesh(2, 1, 3))
+    assert dd.padded
+    phi_single = np.asarray(eng.trace(ndens, xh, src, flux, DR))
+    phi_dom = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_dom, phi_single, rtol=1e-12)
+
+
+def test_evolve3D_domain_3d_nondivisible():
+    """Full convergence loop on a non-divisible 3D mesh: dead padding
+    rows must not corrupt the convergence sums (mask path)."""
+    N = 10
+    rng = np.random.RandomState(10)
+    ndens = 1e-3 * np.ones((N, N, N))
+    temp = 1e4 * np.ones(N ** 3)
+    xh = 1.2e-3 * np.ones(N ** 3)
+    src = np.array([[4, 4, 4], [1, 6, 2], [9, 0, 5]])
+    flux = np.array([1.0, 0.5, 2.0])
+    dt = 3.0e13
+
+    eng = _engine(N, R=1e9, batch=2)
+    xh_s, phi_s = evolve3D(dt, DR, flux, src, eng, CHEM,
+                           temp, ndens.reshape(-1), xh, quiet=True)
+    dd = DomainDecomposition(eng, make_domain_mesh(3, 1, 2))
+    assert dd.padded
+    xh_d, phi_d = evolve3D_domain(dt, DR, flux, src, dd, CHEM,
+                                  temp, ndens, xh, quiet=True)
+    np.testing.assert_allclose(phi_d, np.asarray(phi_s).reshape(N, N, N),
+                               rtol=1e-11)
+    np.testing.assert_allclose(xh_d, np.asarray(xh_s).reshape(N, N, N),
+                               rtol=1e-11)
