@@ -115,17 +115,31 @@ class C2RaySimulation:
         halo-exchange path (beyond reference)."""
         pos, flux = format_sources(src_pos, src_flux)
         if getattr(self, "multi_species", False):
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "the helium engine is single-device in this round; "
-                    "unset sim.mesh or use the hydrogen engines")
-            from ..evolve import evolve3D_he
-            out = evolve3D_he(
-                dt, self.dr, flux, pos, self.raytracer, self.chem_he,
-                self.temp, self.ndens, self.xh, self.xhe1, self.xhe2,
-                convergence_fraction=self.convergence_fraction,
-                logfile=self.logfile, quiet=False,
-                thermal=self.thermal, zred=self.zred)
+            common = dict(convergence_fraction=self.convergence_fraction,
+                          logfile=self.logfile, quiet=False,
+                          thermal=self.thermal, zred=self.zred)
+            if self.mesh is not None and "di" in self.mesh.axis_names:
+                from ..parallel.domain import (DomainDecomposition,
+                                               evolve3D_he_domain)
+                if getattr(self, "_decomp", None) is None:
+                    self._decomp = DomainDecomposition(self.raytracer,
+                                                       self.mesh)
+                out = evolve3D_he_domain(
+                    dt, self.dr, flux, pos, self._decomp, self.chem_he,
+                    self.temp, self.ndens, self.xh, self.xhe1, self.xhe2,
+                    **common)
+            elif self.mesh is not None:
+                from ..parallel.source_parallel import evolve3D_he_sharded
+                out = evolve3D_he_sharded(
+                    dt, self.dr, flux, pos, self.raytracer, self.mesh,
+                    self.chem_he, self.temp, self.ndens, self.xh,
+                    self.xhe1, self.xhe2, **common)
+            else:
+                from ..evolve import evolve3D_he
+                out = evolve3D_he(
+                    dt, self.dr, flux, pos, self.raytracer, self.chem_he,
+                    self.temp, self.ndens, self.xh, self.xhe1, self.xhe2,
+                    **common)
             (self.xh, self.phi_ion, self.xhe1, self.xhe2,
              self.phi_he1, self.phi_he2) = out[:6]
             if self.thermal is not None:
@@ -147,17 +161,17 @@ class C2RaySimulation:
             else:
                 self.xh, self.phi_ion = out
         elif self.mesh is not None:
-            if self.thermal is not None:
-                raise NotImplementedError(
-                    "non-isothermal evolution is not wired into the "
-                    "source-parallel mesh path; use a domain mesh "
-                    "(make_domain_mesh) or run single-device")
             from ..parallel.source_parallel import evolve3D_sharded
-            self.xh, self.phi_ion = evolve3D_sharded(
+            out = evolve3D_sharded(
                 dt, self.dr, flux, pos, self.raytracer, self.mesh,
                 self.chem, self.temp, self.ndens, self.xh,
                 convergence_fraction=self.convergence_fraction,
-                logfile=self.logfile, quiet=False)
+                logfile=self.logfile, quiet=False,
+                thermal=self.thermal, zred=self.zred)
+            if self.thermal is not None:
+                self.xh, self.phi_ion, self.temp = out
+            else:
+                self.xh, self.phi_ion = out
         else:
             out = evolve3D(
                 dt, self.dr, flux, pos, self.raytracer, self.chem,

@@ -174,10 +174,13 @@ def he_update(y1, y2, dt, temp, ne, g_he1, g_he2, p: HeChemistryParams):
 
 @partial(jax.jit, static_argnames=())
 def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
-                   phi_h, phi_he1, phi_he2, p: HeChemistryParams):
+                   phi_h, phi_he1, phi_he2, p: HeChemistryParams,
+                   mask=None):
     """Coupled H+He chemistry pass (elementwise over any shape).
 
     ndens is the HYDROGEN number density; n_He = abu_he * ndens.
+    ``mask`` (optional bool array) excludes cells from the
+    non-convergence count (dead padding rows, parallel/domain.py).
     Returns (xh_t, xh_av, y1_t, y1_av, y2_t, y2_av, conv_flag)."""
     chem = p.chem
     nhe = p.abu_he * ndens
@@ -220,5 +223,7 @@ def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
     not_conv = ((jnp.abs(delta) > MIN_FRACTIONAL_CHANGE)
                 & (jnp.abs(delta / yh_entry) > MIN_FRACTIONAL_CHANGE)
                 & (yh_entry > MIN_FRACTION_OF_ATOMS))
+    if mask is not None:
+        not_conv = not_conv & mask
     conv_flag = jnp.sum(not_conv.astype(jnp.int32))
     return (xint_f, xav_f, y1int_f, y1av_f, y2int_f, y2av_f, conv_flag)

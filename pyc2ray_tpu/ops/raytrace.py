@@ -321,9 +321,11 @@ class Raytracer:
         return phi, heat
 
     def shard_trace(self, tb, nd_flat, xh_flat, pos_b, flux_b, dr):
-        """Per-shard trace body for shard_map (tables passed explicitly)."""
-        phi, _ = self._trace_impl(tb, nd_flat, xh_flat, pos_b, flux_b, dr)
-        return phi
+        """Per-shard trace body for shard_map (tables passed explicitly).
+        Returns (phi, heat); heat is None unless do_heating."""
+        phi, heat = self._trace_impl(tb, nd_flat, xh_flat, pos_b, flux_b,
+                                     dr)
+        return phi, (heat if self.config.do_heating else None)
 
     def prepare_sources(self, src_pos, src_flux):
         """Pad and reshape sources to (nb, B, ...) batches.

@@ -134,11 +134,13 @@ class ChebRaytracer:
                 heat.reshape(-1) if heat is not None else None)
 
     def shard_trace(self, tb, nd_flat, xh_flat, pos_b, flux_b, dr):
-        """Per-shard trace body for shard_map (tables passed explicitly)."""
+        """Per-shard trace body for shard_map (tables passed explicitly).
+        Returns (phi, heat); heat is None unless do_heating."""
         sh = (self.N,) * 3
-        phi, _ = self._trace_impl(tb, nd_flat.reshape(sh),
-                                  xh_flat.reshape(sh), pos_b, flux_b, dr)
-        return phi.reshape(-1)
+        phi, heat = self._trace_impl(tb, nd_flat.reshape(sh),
+                                     xh_flat.reshape(sh), pos_b, flux_b, dr)
+        return (phi.reshape(-1),
+                heat.reshape(-1) if self.do_heating else None)
 
     # ------------------------------------------------------------------
     def _fold_stacks(self, X, Y, Z, src_cd):

@@ -142,16 +142,27 @@ class HeRaytracer:
         return out
 
     # ------------------------------------------------------------------
-    def _trace_impl(self, tb, heb, nd3, xh3, y13, y23, pos_b, flux_b, dr):
+    def species_fields(self, nd3, xh3, y13, y23):
+        """Absorber number densities (n_HI, n_HeI, n_HeII) from the
+        hydrogen density and the ionized fractions."""
+        abu = jnp.asarray(self.abu_he, self.dtype)
+        return (nd3 * (1.0 - xh3),                    # HI
+                abu * nd3 * (1.0 - y13 - y23),        # HeI
+                abu * nd3 * y13)                      # HeII
+
+    @property
+    def geom(self):
+        return self.eng.geom
+
+    def trace_extended(self, tb, heb, field_exts, pos_b, flux_b, dr):
+        """Core batched three-species sweep over EXTENDED absorber fields
+        (tuple of 3; same extended-frame contract as
+        ChebRaytracer.trace_extended — wrap padding on one device, halo
+        exchange under domain decomposition). Returns a tuple of
+        extended accumulators (G_HI, G_HeI, G_HeII[, heat])."""
         eng = self.eng
         g = eng.geom
-        padL, padR = g.c, g.Dc - 1 - g.c
-        abu = jnp.asarray(self.abu_he, self.dtype)
-        fields = (nd3 * (1.0 - xh3),                    # HI
-                  abu * nd3 * (1.0 - y13 - y23),        # HeI
-                  abu * nd3 * y13)                      # HeII
-        pads = [jnp.pad(f, ((padL, padR),) * 3, mode="wrap")
-                for f in fields]
+        pads = list(field_exts)
         n_out = 4 if self.do_heating else 3
         phi0 = [jnp.zeros(pads[0].shape, self.dtype) for _ in range(n_out)]
 
@@ -182,7 +193,16 @@ class HeRaytracer:
 
             return tuple(accum(phis[s], gam[s]) for s in range(len(phis)))
 
-        phis = lax.fori_loop(0, pos_b.shape[0], batch_step, tuple(phi0))
+        return lax.fori_loop(0, pos_b.shape[0], batch_step, tuple(phi0))
+
+    def _trace_impl(self, tb, heb, nd3, xh3, y13, y23, pos_b, flux_b, dr):
+        eng = self.eng
+        g = eng.geom
+        padL, padR = g.c, g.Dc - 1 - g.c
+        fields = self.species_fields(nd3, xh3, y13, y23)
+        pads = tuple(jnp.pad(f, ((padL, padR),) * 3, mode="wrap")
+                     for f in fields)
+        phis = self.trace_extended(tb, heb, pads, pos_b, flux_b, dr)
         return tuple(eng._fold_padding(p) for p in phis)
 
     # -- uniform engine API ----------------------------------------------

@@ -54,7 +54,8 @@ from ..evolve_loop import IterationResult, run_convergence_loop
 from ..ops.chemistry import ChemistryParams, global_pass
 from ..utils.logutils import printlog
 
-__all__ = ["make_domain_mesh", "DomainDecomposition", "evolve3D_domain"]
+__all__ = ["make_domain_mesh", "DomainDecomposition", "evolve3D_domain",
+           "evolve3D_he_domain"]
 
 
 def make_domain_mesh(pi=None, pj=1, pk=1, devices=None):
@@ -522,6 +523,105 @@ class DomainDecomposition:
                          *sargs, dt, dr)
         return step_with_tables
 
+    # -- helium (three-species) sharded paths -----------------------------
+    def _trace_shard_he(self, tb, heb, nd, xh, y1, y2, srcs, dr):
+        """Three-species domain trace of the local block's owned sources
+        (engine = ops.raytrace_he.HeRaytracer). Same interior-overlap
+        structure as the hydrogen ``_trace_shard``; the halos of the
+        three absorber fields ride one fused exchange each."""
+        pos_i, flux_i, pos_b, flux_b = srcs
+        eng = self.engine
+        fields = eng.species_fields(nd, xh, y1, y2)
+        n_out = 4 if eng.do_heating else 3
+        outs = None
+        if pos_i is not None:
+            exts = tuple(self._pad_local(f) for f in fields)
+            phis = eng.trace_extended(tb, heb, exts, pos_i, flux_i, dr)
+            outs = [self._strip_local(p) for p in phis]
+        if pos_b is not None:
+            exts = tuple(self.halo_gather(f) for f in fields)
+            phis = eng.trace_extended(tb, heb, exts, pos_b, flux_b, dr)
+            red = [self.halo_reduce(p) for p in phis]
+            outs = red if outs is None else [a + b
+                                             for a, b in zip(outs, red)]
+        if outs is None:
+            outs = [jnp.zeros(nd.shape, dtype=eng.dtype)
+                    for _ in range(n_out)]
+        return tuple(outs)
+
+    def make_step_he(self, phe, srcs):
+        """Jitted domain-decomposed three-species iteration
+        (raytrace_he + chemistry_he), mirror of ``make_step``.
+
+        step(ndens, temp, xh0, xh_av, y1_0, y1_av, y2_0, y2_av, dt, dr)
+        -> (xi, xav, y1i, y1a, y2i, y2a, gH, gHe1, gHe2[, heat],
+            cf, s1, s0, absorbed)."""
+        eng = self.engine
+        spec = self._spec()
+        sspec = self._src_spec()
+        heating = eng.do_heating
+        names = self._axis_names
+        have = [s is not None for s in srcs[0::2]]
+        src_specs = tuple(sspec for s in srcs if s is not None)
+        from ..ops.chemistry_he import global_pass_he
+
+        n_grid_out = 10 if heating else 9
+
+        @partial(shard_map, mesh=self.mesh,
+                 in_specs=(P(), P()) + (spec,) * 8 + src_specs
+                 + (P(), P()),
+                 out_specs=(spec,) * n_grid_out + (P(),) * 4,
+                 check_vma=False)
+        def step(tb, heb, ndens, temp, xh0, xh_av, y1_0, y1_av,
+                 y2_0, y2_av, *rest):
+            ns = len(src_specs)
+            sa = list(rest[:ns])
+            dt, dr = rest[ns], rest[ns + 1]
+            it = iter(sa)
+            full = []
+            for k in range(2):
+                if have[k]:
+                    full += [next(it), next(it)]
+                else:
+                    full += [None, None]
+            g = self._trace_shard_he(tb, heb, ndens, xh_av, y1_av, y2_av,
+                                     tuple(full), dr)
+            sh = g[0].shape
+            mask = self._valid_mask()
+            r = lambda a: a.reshape(-1)
+            (xi, xav, y1i, y1a, y2i, y2a, cf) = global_pass_he(
+                dt, r(ndens), r(temp), r(xh0), r(xh_av),
+                r(y1_0), r(y1_av), r(y2_0), r(y2_av),
+                r(g[0]), r(g[1]), r(g[2]), phe,
+                mask=None if mask is None else mask.reshape(-1))
+            xi3 = xi.reshape(sh)
+            w = 1.0 if mask is None else mask.astype(xi.dtype).reshape(sh)
+            s1 = lax.psum(jnp.sum(xi3 * w), names)
+            s0 = lax.psum(jnp.sum((1.0 - xi3) * w), names)
+            cf = lax.psum(cf, names)
+            abu = jnp.asarray(phe.abu_he, xi.dtype)
+            nhe = abu * ndens
+            ab = lax.psum(jnp.sum(
+                g[0] * ndens * (1.0 - xh_av)
+                + g[1] * nhe * (1.0 - y1_av - y2_av)
+                + g[2] * nhe * y1_av), names) * dr ** 3
+            outs = (xi3, xav.reshape(sh), y1i.reshape(sh),
+                    y1a.reshape(sh), y2i.reshape(sh), y2a.reshape(sh))
+            outs = outs + tuple(g)
+            return outs + (cf, s1, s0, ab)
+
+        jstep = jax.jit(step)
+
+        def step_with_tables(ndens, temp, xh0, xh_av, y1_0, y1_av,
+                             y2_0, y2_av, dt, dr):
+            sargs = []
+            for k in range(2):
+                if have[k]:
+                    sargs += [srcs[2 * k], srcs[2 * k + 1]]
+            return jstep(eng.eng.tables, eng.he_tables, ndens, temp, xh0,
+                         xh_av, y1_0, y1_av, y2_0, y2_av, *sargs, dt, dr)
+        return step_with_tables
+
     def make_thermal_step(self, thermal, zred=0.0, nsub=16):
         """Sharded post-convergence temperature update (shard-local,
         zero communication — see ops/thermal.py)."""
@@ -611,3 +711,81 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
         return (out3(state["xh_intermed"]), out3(state["phi_ion"]),
                 out3(temp_new))
     return out3(state["xh_intermed"]), out3(state["phi_ion"])
+
+
+def evolve3D_he_domain(dt, dr, src_flux, src_pos,
+                       decomp: DomainDecomposition, phe, temp, ndens,
+                       xh, y1, y2, convergence_fraction=1e-4,
+                       logfile=None, quiet=False, max_iterations=100,
+                       thermal=None, zred=0.0):
+    """Domain-decomposed coupled H+He evolve loop (engine =
+    ops.raytrace_he.HeRaytracer bound to the decomposition). Same
+    convergence semantics as evolve.evolve3D_he; the three absorber
+    fields are halo-exchanged per iteration and the coupled chemistry
+    runs shard-local.
+
+    Returns (xh, phi_HI, y1, y2, phi_HeI, phi_HeII[, temp_new])."""
+    eng = decomp.engine
+    N = decomp.N
+    num_cells = N ** 3
+    num_src = int(np.asarray(src_flux).shape[0])
+    dtype = eng.dtype
+    sh3 = (N, N, N)
+
+    def pad3(a, fill):
+        return decomp.pad_global(
+            jnp.asarray(np.asarray(a), dtype).reshape(sh3), fill)
+
+    temp_d = pad3(temp, 1e4)
+    ndens_d = pad3(ndens, 1.0)
+    xh_d = pad3(xh, 0.5)
+    y1_d = pad3(y1, 0.1)
+    y2_d = pad3(y2, 0.1)
+    srcs = decomp.prepare_sources(src_pos, src_flux)
+    step = decomp.make_step_he(phe, srcs)
+    emitted = float(np.sum(np.asarray(src_flux, dtype=np.float64))) \
+        * S_STAR_REF
+    heating = eng.do_heating
+    if thermal is not None and not heating:
+        raise ValueError("thermal evolution requires HeRaytracer("
+                         "do_heating=True)")
+
+    printlog(f"Calling evolve3D_he over domain mesh "
+             f"{decomp.pi}x{decomp.pj}x{decomp.pk} on {num_src:n} "
+             f"source(s)...", logfile, quiet)
+    state = {"xh_av": xh_d, "y1_av": y1_d, "y2_av": y2_d,
+             "xh_int": xh_d, "y1_int": y1_d, "y2_int": y2_d, "g": None}
+
+    def iteration(niter):
+        t0 = time.time()
+        out = step(ndens_d, temp_d, xh_d, state["xh_av"], y1_d,
+                   state["y1_av"], y2_d, state["y2_av"],
+                   jnp.asarray(dt, dtype), jnp.asarray(dr, dtype))
+        ng = 10 if heating else 9
+        (xi, xav, y1i, y1a, y2i, y2a) = out[:6]
+        g = out[6:ng]
+        cf, s1, s0, ab = jax.device_get(out[ng:])
+        printlog(f"Iteration {niter} took {time.time()-t0:.3f} s.",
+                 logfile, quiet)
+        state.update(xh_av=xav, y1_av=y1a, y2_av=y2a,
+                     xh_int=xi, y1_int=y1i, y2_int=y2i, g=g)
+        loss = (1.0 - float(ab) / emitted) if emitted > 0 else None
+        return IterationResult(int(cf), float(s1), float(s0),
+                               photon_loss=loss)
+
+    run_convergence_loop(iteration, num_cells, num_src,
+                         convergence_fraction, max_iterations,
+                         logfile, quiet)
+
+    def out3(arr):
+        return np.asarray(decomp.strip_global(arr)).reshape(sh3)
+
+    g = state["g"]
+    out = (out3(state["xh_int"]), out3(g[0]), out3(state["y1_int"]),
+           out3(state["y2_int"]), out3(g[1]), out3(g[2]))
+    if thermal is not None:
+        tstep = decomp.make_thermal_step(thermal, zred=float(zred))
+        temp_new = tstep(jnp.asarray(dt, dtype), temp_d, ndens_d,
+                         state["xh_av"], g[3])
+        out = out + (out3(temp_new),)
+    return out

@@ -148,3 +148,134 @@ def test_evolve_he_front_ordering():
     assert abs(int(r_he2) - int(r_h)) <= 2
     assert r_he2 > 0                      # helium actually ionized
     assert np.all(np.isfinite(line(y1_n) + line(y2_n)))
+
+
+# ---------------------------------------------------------------------------
+# Helium under the meshes (domain + source-parallel) — capability parity
+# ---------------------------------------------------------------------------
+
+def _he_evolve_setup(N=12):
+    from pyc2ray_tpu.ops.chemistry import ChemistryParams
+    from pyc2ray_tpu.ops.chemistry_he import HeChemistryParams
+    bins = _he_bins()
+    chem = ChemistryParams(bh00=2.59e-13, albpow=-0.7,
+                           colh0=1.3e-8 * 0.83 / (13.598 ** 2),
+                           temph0=13.598 / 8.617e-05, abu_c=7.1e-7)
+    phe = HeChemistryParams(chem=chem, abu_he=0.074)
+    nd = 1e-3 * np.ones((N, N, N))
+    temp = 2e4 * np.ones((N, N, N))
+    xh = 1e-3 * np.ones((N, N, N))
+    y1 = 1e-3 * np.ones((N, N, N))
+    y2 = np.zeros((N, N, N))
+    src = np.array([[6, 6, 6], [2, 9, 4]])
+    flux = np.array([20.0, 5.0])
+    return bins, phe, nd, temp, xh, y1, y2, src, flux
+
+
+def test_he_domain_matches_single():
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    from pyc2ray_tpu.evolve import evolve3D_he
+    from pyc2ray_tpu.parallel import (make_domain_mesh, DomainDecomposition,
+                                      evolve3D_he_domain)
+    N = 12
+    bins, phe, nd, temp, xh, y1, y2, src, flux = _he_evolve_setup(N)
+
+    def mk():
+        return HeRaytracer(N, 1e9, bins, abu_he=0.074, batch_size=1,
+                           dtype=jnp.float64)
+    ref = evolve3D_he(1.0e13, DR, flux, src, mk(), phe, temp, nd,
+                      xh, y1, y2, quiet=True)
+    dd = DomainDecomposition(mk(), make_domain_mesh(2, 2, 2))
+    out = evolve3D_he_domain(1.0e13, DR, flux, src, dd, phe, temp, nd,
+                             xh, y1, y2, quiet=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11)
+    assert np.asarray(out[2]).max() > 0.5  # helium actually ionized
+
+
+def test_he_source_parallel_matches_single():
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    from pyc2ray_tpu.evolve import evolve3D_he
+    from pyc2ray_tpu.parallel import make_mesh, evolve3D_he_sharded
+    N = 12
+    bins, phe, nd, temp, xh, y1, y2, src, flux = _he_evolve_setup(N)
+
+    def mk():
+        return HeRaytracer(N, 1e9, bins, abu_he=0.074, batch_size=1,
+                           dtype=jnp.float64)
+    ref = evolve3D_he(1.0e13, DR, flux, src, mk(), phe, temp, nd,
+                      xh, y1, y2, quiet=True)
+    mesh = make_mesh(n_src=4, n_space=2)
+    out = evolve3D_he_sharded(1.0e13, DR, flux, src, mk(), mesh, phe,
+                              temp, nd, xh, y1, y2, quiet=True)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-11)
+
+
+def test_he_thermal_domain_matches_single():
+    """He + heating + thermal composes with the domain mesh."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    from pyc2ray_tpu.evolve import evolve3D_he
+    from pyc2ray_tpu.ops.thermal import ThermalParams
+    from pyc2ray_tpu.parallel import (make_domain_mesh, DomainDecomposition,
+                                      evolve3D_he_domain)
+    N = 12
+    bins, phe, nd, temp, xh, y1, y2, src, flux = _he_evolve_setup(N)
+    tp = ThermalParams(bh00=2.59e-13, albpow=-0.7,
+                       colh0=1.3e-8 * 0.83 / (13.598 ** 2),
+                       temph0=13.598 / 8.617e-05, abu_c=7.1e-7)
+
+    def mk():
+        return HeRaytracer(N, 1e9, bins, abu_he=0.074, batch_size=1,
+                           dtype=jnp.float64, do_heating=True)
+    ref = evolve3D_he(1.0e13, DR, flux, src, mk(), phe, temp, nd,
+                      xh, y1, y2, quiet=True, thermal=tp, zred=9.0)
+    dd = DomainDecomposition(mk(), make_domain_mesh(2, 2, 2))
+    out = evolve3D_he_domain(1.0e13, DR, flux, src, dd, phe, temp, nd,
+                             xh, y1, y2, quiet=True, thermal=tp, zred=9.0)
+    assert len(out) == 7
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10)
+    assert np.asarray(out[6]).std() > 0  # temperature evolved
+
+
+def test_he_thermal_source_parallel_matches_single():
+    """He + heating + thermal composes with the source-parallel mesh."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    from pyc2ray_tpu.evolve import evolve3D_he
+    from pyc2ray_tpu.ops.thermal import ThermalParams
+    from pyc2ray_tpu.parallel import make_mesh, evolve3D_he_sharded
+    N = 12
+    bins, phe, nd, temp, xh, y1, y2, src, flux = _he_evolve_setup(N)
+    tp = ThermalParams(bh00=2.59e-13, albpow=-0.7,
+                       colh0=1.3e-8 * 0.83 / (13.598 ** 2),
+                       temph0=13.598 / 8.617e-05, abu_c=7.1e-7)
+
+    def mk():
+        return HeRaytracer(N, 1e9, bins, abu_he=0.074, batch_size=1,
+                           dtype=jnp.float64, do_heating=True)
+    ref = evolve3D_he(1.0e13, DR, flux, src, mk(), phe, temp, nd,
+                      xh, y1, y2, quiet=True, thermal=tp, zred=9.0)
+    mesh = make_mesh(n_src=4, n_space=2)
+    out = evolve3D_he_sharded(1.0e13, DR, flux, src, mk(), mesh, phe,
+                              temp, nd, xh, y1, y2, quiet=True,
+                              thermal=tp, zred=9.0)
+    assert len(out) == 7
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10)

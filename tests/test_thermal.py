@@ -160,3 +160,41 @@ def test_nonisothermal_domain_matches_single():
     np.testing.assert_allclose(t_d, t_s, rtol=1e-11)
     np.testing.assert_allclose(xh_d, xh_s, rtol=1e-12)
     assert t_d.std() > 0  # temperature actually evolved (non-uniform)
+
+
+def test_nonisothermal_source_parallel_matches_single():
+    """Thermal evolution composes with the source-parallel mesh: the
+    psum'd heating rates feed the same post-convergence update."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer
+    from pyc2ray_tpu.ops.raytrace_box import grey_bins
+    from pyc2ray_tpu.ops.chemistry import ChemistryParams
+    from pyc2ray_tpu.parallel import make_mesh, evolve3D_sharded
+    from pyc2ray_tpu.evolve import evolve3D
+
+    N = 8
+    chem = ChemistryParams(bh00=P.bh00, albpow=P.albpow, colh0=P.colh0,
+                           temph0=P.temph0, abu_c=P.abu_c)
+    ndens = 1e-3 * np.ones((N, N, N))
+    temp = 1e2 * np.ones(N ** 3)
+    xh = 1.2e-3 * np.ones(N ** 3)
+    src = np.array([[4, 4, 4], [1, 6, 2], [7, 0, 5]])
+    flux = np.array([1.0, 0.5, 2.0])
+    dt, dr, sig = 3.0e13, 2.0e21, 6.30e-18
+
+    def mk():
+        return ChebRaytracer(N, 1e9, sig, grey_bins(), batch_size=2,
+                             dtype=jnp.float64, do_heating=True)
+
+    xh_s, phi_s, t_s = evolve3D(dt, dr, flux, src, mk(), chem,
+                                temp, ndens.reshape(-1), xh, quiet=True,
+                                thermal=P, zred=9.0)
+    mesh = make_mesh(n_src=4, n_space=2)
+    xh_m, phi_m, t_m = evolve3D_sharded(dt, dr, flux, src, mk(), mesh,
+                                        chem, temp, ndens, xh, quiet=True,
+                                        thermal=P, zred=9.0)
+    np.testing.assert_allclose(t_m, t_s, rtol=1e-11)
+    np.testing.assert_allclose(xh_m, xh_s, rtol=1e-12)
+    assert t_m.std() > 0
