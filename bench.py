@@ -52,7 +52,9 @@ def main():
     N = 256
     R = 30.0
     NS = 2048   # converged regime of the paper's Figure-8 floor (Ns >~ 1e3)
-    BATCH = 16
+    BATCH = 8   # measured optimum of the r02 batch sweep (1/2/4/8/16/32/64
+                # -> 2.30/1.86/1.84/1.80/1.91/2.08/2.31 ns/cell; the TPU
+                # plateaus far below the P100's M=56)
     NREPS = 3
     dtype = jnp.float32
 

@@ -374,7 +374,7 @@ class C2RaySimulation:
             import jax
             jax.config.update("jax_enable_x64", True)
         engine = str(ld["Raytracing"].get("engine", "flat"))
-        valid_engines = ("flat", "cheb", "pallas", "adaptive", "he")
+        valid_engines = ("flat", "cheb", "pallas", "adaptive", "he", "box")
         if engine not in valid_engines:
             raise ValueError(
                 f"Unknown Raytracing.engine: {engine!r}. Valid engines: "
@@ -382,7 +382,8 @@ class C2RaySimulation:
                 f"octahedral f64 tables; cheb = Chebyshev-face XLA sweep; "
                 f"pallas = cheb with the Pallas TPU kernel; adaptive = "
                 f"pallas with flux-bucketed per-source radii; he = "
-                f"three-species H+He)")
+                f"three-species H+He; box = octahedral sheet-batched "
+                f"formulation)")
         self.multi_species = (engine == "he")
         if engine == "he":
             # helium extension (beyond reference): three-species engine +
@@ -420,7 +421,7 @@ class C2RaySimulation:
                 f"({bins.num_bins} bins over 3 bands, abu_he = "
                 f"{self.abu_he:.3g}, batch = {batch:n})")
             return
-        if engine in ("cheb", "pallas", "adaptive"):
+        if engine in ("cheb", "pallas", "adaptive", "box"):
             # production fast path: Chebyshev-face sweep + spectral bins
             from ..ops.raytrace_cheb import ChebRaytracer
             from ..radiation.spectral_bins import make_spectral_bins
@@ -455,6 +456,21 @@ class C2RaySimulation:
                     f"Using TPU adaptive-radius raytracing (buckets R = "
                     f"{self.raytracer.radii}, safety = {safety:g}, "
                     f"{bins.num_bins} spectral bins, batch = {batch:n}, "
+                    f"dtype = {dtype_name})")
+                return
+            if engine == "box":
+                # octahedral sheet-batched formulation (the stepping
+                # stone to the cheb engine; kept as a selectable
+                # alternative — gather-free like cheb but sweeping
+                # L1 octahedron sheets)
+                from ..ops.raytrace_box import BoxRaytracer
+                self.raytracer = BoxRaytracer(
+                    self.N, float(self.R_max_LLS), float(self.sig), bins,
+                    batch_size=batch, dtype=dtype,
+                    do_heating=self.compute_heating_rates)
+                self.printlog(
+                    f"Using TPU octahedral sheet raytracing "
+                    f"({bins.num_bins} spectral bins, batch = {batch:n}, "
                     f"dtype = {dtype_name})")
                 return
             self.raytracer = ChebRaytracer(

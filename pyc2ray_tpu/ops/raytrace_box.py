@@ -120,6 +120,21 @@ class BoxRaytracer:
             bins_wh=jnp.asarray(bins.w_heat, dt))
 
         self._trace_jit = jax.jit(self._trace_impl)
+        # config shim so evolve3D and the models treat engines uniformly
+        from .raytrace import RaytraceConfig
+        self.config = RaytraceConfig(
+            N=self.N, R_max_LLS=self.R_max_LLS, sig=self.sig,
+            batch_size=self.batch_size, dtype=dtype,
+            grey_analytic=(bins.num_bins == 1), do_heating=do_heating)
+
+    # -- uniform engine API --------------------------------------------
+    def trace_batches(self, nd, xh, pos_b, flux_b, dr):
+        """Device-level batched trace on prepared sources; flat-grid IO."""
+        sh = (self.N,) * 3
+        phi, heat = self._trace_jit(self.tables, nd.reshape(sh),
+                                    xh.reshape(sh), pos_b, flux_b, dr)
+        return (phi.reshape(-1),
+                heat.reshape(-1) if heat is not None else None)
 
     # ------------------------------------------------------------------
     def prepare_sources(self, src_pos, src_flux):

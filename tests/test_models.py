@@ -27,7 +27,7 @@ def _setup(tmp_path, engine="flat", numtau=300):
     return pfile
 
 
-@pytest.mark.parametrize("engine", ["flat", "cheb"])
+@pytest.mark.parametrize("engine", ["flat", "cheb", "box"])
 def test_c2ray_test_sim_evolves(tmp_path, engine):
     N = 16
     pfile = _setup(tmp_path, engine)
