@@ -176,3 +176,11 @@ def test_helium_engine_through_model(tmp_path):
     # standalone raytracing entry also works
     sim.do_raytracing(srcflux, srcpos)
     assert np.asarray(sim.phi_he1).max() > 0
+
+
+def test_unknown_engine_raises(tmp_path):
+    """A typo'd Raytracing.engine must raise listing the valid engines,
+    not silently fall through to the flat engine (round-1 VERDICT)."""
+    pfile = _setup(tmp_path, "boxx")
+    with pytest.raises(ValueError, match="Unknown Raytracing.engine"):
+        pc2r.C2Ray_Test(pfile, 8, use_gpu=True)
