@@ -24,7 +24,8 @@ import jax
 from .constants import S_STAR_REF
 from .utils.logutils import printlog
 
-__all__ = ["photon_budget", "stage_timer", "trace_annotated"]
+__all__ = ["photon_budget", "stage_timer", "trace_annotated",
+           "profile_trace", "device_op_times"]
 
 
 def photon_budget(phi_ion, ndens, xh_av, src_flux, dr):
@@ -81,3 +82,52 @@ def trace_annotated(name, fn):
         with jax.profiler.TraceAnnotation(name):
             return fn(*args, **kwargs)
     return wrapped
+
+
+@contextlib.contextmanager
+def profile_trace(outdir, sync=None):
+    """Capture a device profile of the enclosed block into ``outdir``.
+
+    Thin wrapper over ``jax.profiler.trace`` that forces completion of
+    the block's results through a data dependency (pass the result
+    array(s) back via the yielded dict's "sync" key, like stage_timer),
+    so the capture actually contains the device work::
+
+        with profile_trace("/tmp/prof") as p:
+            phi, _ = rt.trace_batches(...)
+            p["sync"] = phi
+        times = device_op_times("/tmp/prof")
+
+    Analyze with ``device_op_times`` (per-HLO-op device totals) or
+    TensorBoard.
+    """
+    from .evolve_loop import force
+    result = {}
+    with jax.profiler.trace(str(outdir)):
+        yield result
+        if "sync" in result:
+            force(result["sync"])
+
+
+def device_op_times(outdir, top=None):
+    """Aggregate per-op device times (ms) from a ``profile_trace``
+    capture. Returns {op_name: ms} sorted descending. Parses the
+    xplane protobuf directly (tensorflow protos), so it works headless
+    without TensorBoard."""
+    import glob
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    agg = {}
+    for f in glob.glob(str(outdir) + "/**/*.xplane.pb", recursive=True):
+        xs = xplane_pb2.XSpace()
+        with open(f, "rb") as fh:
+            xs.ParseFromString(fh.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "tpu" not in plane.name:
+                continue
+            ev_names = plane.event_metadata
+            for line in plane.lines:
+                for ev in line.events:
+                    name = ev_names[ev.metadata_id].name
+                    agg[name] = agg.get(name, 0.0) + ev.duration_ps / 1e9
+    items = sorted(agg.items(), key=lambda kv: -kv[1])
+    return dict(items[:top] if top else items)

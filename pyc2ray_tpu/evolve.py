@@ -28,29 +28,30 @@ from .utils.logutils import printlog
 __all__ = ["evolve3D", "evolve3D_he", "EvolveResult"]
 
 
-def _absorbed_rate(phi_ion, ndens, xh_av, dr):
-    """Total absorbed photon rate implied by the rate grid [photons/s]:
-    sum(Gamma * nHI) * dr^3 (inverse of the photon-conserving division,
-    raytracing.f90:531)."""
+def _absorbed_rate(phi_ion, ndens, xh_av):
+    """sum(Gamma * nHI) — the absorbed photon rate WITHOUT the dr^3
+    volume factor (inverse of the photon-conserving division,
+    raytracing.f90:531). The caller applies dr^3 in host float64:
+    dr^3 ~ 1e62 cm^3 overflows float32, so folding it into the device
+    reduction would make the loss log +-inf in f32 runs."""
     nhi = ndens * (1.0 - xh_av)
     return jnp.sum((phi_ion.reshape(-1) * nhi.reshape(-1)).astype(
-        jnp.float32)) * dr.astype(jnp.float32) ** 3
+        jnp.float32))
 
 
 _absorbed_rate_jit = jax.jit(_absorbed_rate)
 
 
-def _absorbed_rate_he(gh, ghe1, ghe2, ndens, xh_av, y1_av, y2_av, abu_he,
-                      dr):
-    """Three-species absorbed photon rate: Gamma_s * n_s summed over
-    HI, HeI, HeII (ndens is the hydrogen density; n_He = abu_he * n_H)."""
+def _absorbed_rate_he(gh, ghe1, ghe2, ndens, xh_av, y1_av, y2_av, abu_he):
+    """Three-species sum(Gamma_s * n_s) over HI, HeI, HeII WITHOUT the
+    dr^3 factor (applied host-side in float64 — see _absorbed_rate).
+    ndens is the hydrogen density; n_He = abu_he * n_H."""
     r = lambda a: a.reshape(-1).astype(jnp.float32)
     nhi = r(ndens) * (1.0 - r(xh_av))
     nhe = abu_he.astype(jnp.float32) * r(ndens)
     nhe1 = nhe * (1.0 - r(y1_av) - r(y2_av))
     nhe2 = nhe * r(y1_av)
-    tot = jnp.sum(r(gh) * nhi + r(ghe1) * nhe1 + r(ghe2) * nhe2)
-    return tot * dr.astype(jnp.float32) ** 3
+    return jnp.sum(r(gh) * nhi + r(ghe1) * nhe1 + r(ghe2) * nhe2)
 
 
 _absorbed_rate_he_jit = jax.jit(_absorbed_rate_he)
@@ -147,12 +148,13 @@ def evolve3D(dt, dr, src_flux, src_pos, raytracer,
             dt_d, ndens_d, temp_d, xh_d, xh_av_seen, phi_ion, chem)
         sum_xh1 = jnp.sum(xh_intermed)
         sum_xh0 = jnp.sum(1.0 - xh_intermed)
-        absorbed = _absorbed_rate_jit(phi_ion, ndens_d, xh_av_seen, dr_d)
+        absorbed = _absorbed_rate_jit(phi_ion, ndens_d, xh_av_seen)
         conv_flag, sum_xh1, sum_xh0, absorbed = jax.device_get(
             (conv_flag, sum_xh1, sum_xh0, absorbed))
         printlog(f"Chemistry took {time.time()-t0:.3f} s.", logfile, quiet)
         state["xh_av"], state["xh_intermed"] = xh_av, xh_intermed
-        loss = (1.0 - float(absorbed) / emitted) if emitted > 0 else 0.0
+        absorbed_rate = float(absorbed) * float(dr) ** 3
+        loss = (1.0 - absorbed_rate / emitted) if emitted > 0 else 0.0
         return IterationResult(int(conv_flag), float(sum_xh1),
                                float(sum_xh0), photon_loss=loss)
 
@@ -241,14 +243,15 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
         sum0 = jnp.sum(1.0 - xh_int)
         absorbed = _absorbed_rate_he_jit(
             g[0], g[1], g[2], ndens_d, xh_av_seen, state["y1_av"],
-            state["y2_av"], jnp.asarray(phe.abu_he, dtype), dr_d)
+            state["y2_av"], jnp.asarray(phe.abu_he, dtype))
         conv_flag, sum1, sum0, absorbed = jax.device_get(
             (conv_flag, sum1, sum0, absorbed))
         printlog(f"Chemistry (H+He) took {time.time()-t0:.3f} s.",
                  logfile, quiet)
         state.update(xh_av=xh_av, y1_av=y1_av, y2_av=y2_av,
                      xh_int=xh_int, y1_int=y1_int, y2_int=y2_int)
-        loss = (1.0 - float(absorbed) / emitted) if emitted > 0 else None
+        absorbed_rate = float(absorbed) * float(dr) ** 3
+        loss = (1.0 - absorbed_rate / emitted) if emitted > 0 else None
         return IterationResult(int(conv_flag), float(sum1), float(sum0),
                                photon_loss=loss)
 

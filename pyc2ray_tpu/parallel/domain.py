@@ -506,8 +506,9 @@ class DomainDecomposition:
             s1 = lax.psum(jnp.sum(xi3 * w), names)
             s0 = lax.psum(jnp.sum((1.0 - xi3) * w), names)
             cf = lax.psum(cf, names)
-            ab = lax.psum(
-                jnp.sum(phi * ndens * (1.0 - xh_av)), names) * dr ** 3
+            # absorbed-rate sum WITHOUT dr^3 (dr^3 ~ 1e62 overflows
+            # f32; the volume factor is applied host-side in float64)
+            ab = lax.psum(jnp.sum(phi * ndens * (1.0 - xh_av)), names)
             if heating:
                 return (xi3, xav.reshape(sh), phi, heat, cf, s1, s0, ab)
             return (xi3, xav.reshape(sh), phi, cf, s1, s0, ab)
@@ -604,7 +605,7 @@ class DomainDecomposition:
             ab = lax.psum(jnp.sum(
                 g[0] * ndens * (1.0 - xh_av)
                 + g[1] * nhe * (1.0 - y1_av - y2_av)
-                + g[2] * nhe * y1_av), names) * dr ** 3
+                + g[2] * nhe * y1_av), names)
             outs = (xi3, xav.reshape(sh), y1i.reshape(sh),
                     y1a.reshape(sh), y2i.reshape(sh), y2a.reshape(sh))
             outs = outs + tuple(g)
@@ -693,7 +694,8 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
                  logfile, quiet)
         state.update(xh_av=xh_av, xh_intermed=xh_intermed,
                      phi_ion=phi_ion, phi_heat=phi_heat)
-        loss = (1.0 - float(absorbed) / emitted) if emitted > 0 else 0.0
+        absorbed_rate = float(absorbed) * float(dr) ** 3
+        loss = (1.0 - absorbed_rate / emitted) if emitted > 0 else 0.0
         return IterationResult(int(conv_flag), float(sum_xh1),
                                float(sum_xh0), photon_loss=loss)
 
@@ -769,7 +771,8 @@ def evolve3D_he_domain(dt, dr, src_flux, src_pos,
                  logfile, quiet)
         state.update(xh_av=xav, y1_av=y1a, y2_av=y2a,
                      xh_int=xi, y1_int=y1i, y2_int=y2i, g=g)
-        loss = (1.0 - float(ab) / emitted) if emitted > 0 else None
+        ab_rate = float(ab) * float(dr) ** 3
+        loss = (1.0 - ab_rate / emitted) if emitted > 0 else None
         return IterationResult(int(cf), float(s1), float(s0),
                                photon_loss=loss)
 

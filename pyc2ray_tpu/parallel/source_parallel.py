@@ -89,7 +89,9 @@ def make_sharded_step(raytracer: Raytracer, mesh, chem: ChemistryParams):
         s0_s = jnp.sum(1.0 - xi_s)
         # absorbed photon rate for the photon-conservation log (each
         # device sums its cell shard of the replicated Gamma)
-        ab_s = jnp.sum(sl(phi_ion) * sl(ndens) * (1.0 - sl(xh_av))) * dr ** 3
+        # absorbed-rate sum WITHOUT dr^3 (dr^3 ~ 1e62 overflows f32;
+        # the volume factor is applied host-side in float64)
+        ab_s = jnp.sum(sl(phi_ion) * sl(ndens) * (1.0 - sl(xh_av)))
         # gather updated fields back to replicated form
         xi = jax.lax.all_gather(xi_s, axes, tiled=True)
         xav = jax.lax.all_gather(xav_s, axes, tiled=True)
@@ -195,7 +197,8 @@ def evolve3D_sharded(dt, dr, src_flux, src_pos, raytracer: Raytracer,
                  logfile, quiet)
         state.update(xh_av=xh_av, xh_intermed=xh_intermed,
                      phi_ion=phi_ion, phi_heat=phi_heat)
-        loss = (1.0 - float(absorbed) / emitted) if emitted > 0 else 0.0
+        absorbed_rate = float(absorbed) * float(dr) ** 3
+        loss = (1.0 - absorbed_rate / emitted) if emitted > 0 else 0.0
         return IterationResult(int(conv_flag), float(sum_xh1),
                                float(sum_xh0), photon_loss=loss)
 
@@ -261,7 +264,7 @@ def make_sharded_step_he(raytracer, mesh, phe):
         nhe_s = abu * sl(ndens)
         ab_s = jnp.sum(sl(gs[0]) * sl(ndens) * (1.0 - sl(xh_av))
                        + sl(gs[1]) * nhe_s * (1.0 - sl(y1_av) - sl(y2_av))
-                       + sl(gs[2]) * nhe_s * sl(y1_av)) * dr ** 3
+                       + sl(gs[2]) * nhe_s * sl(y1_av))
         return ((ga(xi_s), ga(xav_s), ga(y1i_s), ga(y1a_s), ga(y2i_s),
                  ga(y2a_s)) + tuple(gs)
                 + (jax.lax.psum(cf_s, axes), jax.lax.psum(jnp.sum(xi_s), axes),
@@ -319,7 +322,8 @@ def evolve3D_he_sharded(dt, dr, src_flux, src_pos, raytracer, mesh, phe,
                  logfile, quiet)
         state.update(xh_av=xav, y1_av=y1a, y2_av=y2a,
                      xh_int=xi, y1_int=y1i, y2_int=y2i, g=g)
-        loss = (1.0 - float(ab) / emitted) if emitted > 0 else None
+        ab_rate = float(ab) * float(dr) ** 3
+        loss = (1.0 - ab_rate / emitted) if emitted > 0 else None
         return IterationResult(int(cf), float(s1), float(s0),
                                photon_loss=loss)
 
