@@ -86,6 +86,11 @@ class AdaptiveRaytracer:
             while r >= max(R_min, 4.0) and len(radii) < 4:
                 radii.append(r)
                 r /= 2.0
+            if not radii:
+                # R_max below the minimum bucket (e.g. a sub-cell LLS
+                # horizon on a coarse grid): one bucket at R_max,
+                # degrading to a plain fixed-radius engine
+                radii = [float(min(R_max_LLS, N))]
             radii = sorted(radii)
         self.radii = [float(r) for r in radii]
         self.engines = [
