@@ -17,8 +17,11 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
 
 
 def save_checkpoint(directory, z, xh, ndens, phi_ion, time, zred,
-                    temp=None, prefix="checkpoint"):
-    """Write a full-state checkpoint for redshift slice z."""
+                    temp=None, xhe1=None, xhe2=None, prefix="checkpoint"):
+    """Write a full-state checkpoint for redshift slice z.
+
+    ``temp`` (non-isothermal runs) and ``xhe1``/``xhe2`` (helium-engine
+    runs) are included when given so those runs resume losslessly."""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{prefix}_{z:.6f}.npz")
     arrays = dict(xh=np.asarray(xh), ndens=np.asarray(ndens),
@@ -27,6 +30,10 @@ def save_checkpoint(directory, z, xh, ndens, phi_ion, time, zred,
                   z=np.float64(z))
     if temp is not None:
         arrays["temp"] = np.asarray(temp)
+    if xhe1 is not None:
+        arrays["xhe1"] = np.asarray(xhe1)
+    if xhe2 is not None:
+        arrays["xhe2"] = np.asarray(xhe2)
     np.savez(path, **arrays)
     return path
 

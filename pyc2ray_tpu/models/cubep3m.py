@@ -91,12 +91,24 @@ class C2Ray_CubeP3M(C2RaySimulation):
             self.prev_zdens = high_z
 
     def write_output(self, z):
-        """C2Ray-compatible binary outputs (c2ray_cubep3m.py:128-143)."""
+        """C2Ray-compatible binary outputs (c2ray_cubep3m.py:128-143).
+
+        Beyond-reference channels resume losslessly: non-isothermal runs
+        also write Temper (the reference resets temperature on resume,
+        SURVEY.md section 5), and helium runs write xfracHe1/xfracHe2."""
         suffix = f"_{z:.3f}.dat"
         save_cbin(self.results_basename + "xfrac" + suffix, self.xh,
                   bits=64, order="F")
         save_cbin(self.results_basename + "IonRates" + suffix, self.phi_ion,
                   bits=32, order="F")
+        if not getattr(self, "isothermal", True):
+            save_cbin(self.results_basename + "Temper" + suffix, self.temp,
+                      bits=64, order="F")
+        if getattr(self, "multi_species", False):
+            save_cbin(self.results_basename + "xfracHe1" + suffix,
+                      self.xhe1, bits=64, order="F")
+            save_cbin(self.results_basename + "xfracHe2" + suffix,
+                      self.xhe2, bits=64, order="F")
         self.printlog("\n--- Reionization History ----")
         self.printlog(" min, mean, max xHII : %.3e  %.3e  %.3e"
                       % (self.xh.min(), self.xh.mean(), self.xh.max()))
@@ -134,7 +146,20 @@ class C2Ray_CubeP3M(C2RaySimulation):
             self.xh = read_cbin(
                 "%sxfrac_%.3f.dat" % (self.results_basename, self.zred),
                 bits=64, order="F")
-            self.temp = temp0 * np.ones(self.shape)
+            # non-isothermal / helium runs wrote these extra channels;
+            # reload when present (the reference resets temperature)
+            tfile = "%sTemper_%.3f.dat" % (self.results_basename, self.zred)
+            if os.path.exists(tfile):
+                self.temp = read_cbin(tfile, bits=64, order="F")
+            else:
+                self.temp = temp0 * np.ones(self.shape)
+            h1 = "%sxfracHe1_%.3f.dat" % (self.results_basename, self.zred)
+            if os.path.exists(h1):
+                self.xhe1 = read_cbin(h1, bits=64, order="F")
+                self.xhe2 = read_cbin(
+                    "%sxfracHe2_%.3f.dat" % (self.results_basename,
+                                             self.zred),
+                    bits=64, order="F")
             self.phi_ion = read_cbin(
                 "%sIonRates_%.3f.dat" % (self.results_basename, self.zred),
                 bits=32, order="F")

@@ -184,3 +184,53 @@ def test_unknown_engine_raises(tmp_path):
     pfile = _setup(tmp_path, "boxx")
     with pytest.raises(ValueError, match="Unknown Raytracing.engine"):
         pc2r.C2Ray_Test(pfile, 8, use_gpu=True)
+
+
+def test_cubep3m_resume_thermal_channel(tmp_path):
+    """Non-isothermal runs write Temper outputs and resume reloads the
+    temperature (the reference resets it; beyond-reference)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "eor_simulation"))
+    from run_test import make_synthetic_inputs
+
+    N = 12
+    inputs = str(tmp_path / "inputs") + "/"
+    results = str(tmp_path / "results") + "/"
+    os.makedirs(results)
+    zlist = [21.062, 20.134]
+    make_synthetic_inputs(N, inputs, zlist)
+
+    base = open(os.path.join(os.path.dirname(__file__), "..", "examples",
+                             "eor_simulation", "parameters.yml")).read()
+    base = base.replace("results_basename: ./results/",
+                        f"results_basename: {results}")
+    base = base.replace("inputs_basename: ./inputs/",
+                        f"inputs_basename: {inputs}")
+    base = base.replace("NumTau: 2000", "NumTau: 200")
+    base = base.replace("dtype: float32", "dtype: float64")
+    base = base.replace("  temp0: 1e4", "  temp0: 1e4\n  isothermal: 0")
+    base = base.replace("compute_heating_rates: 0",
+                        "compute_heating_rates: 1")
+    base = base.replace("engine: adaptive", "engine: cheb")
+    pfile = str(tmp_path / "p.yml")
+    open(pfile, "w").write(base)
+
+    sim = pc2r.C2Ray_CubeP3M(pfile, N)
+    assert sim.thermal is not None
+    sim.read_density(zlist[0])
+    srcpos, flux = sim.read_sources(os.path.join(
+        inputs, "sources", f"{zlist[0]:.3f}-sources.hdf5"))
+    dt = sim.set_timestep(zlist[0], zlist[1], 1)
+    sim.cosmo_evolve(dt)
+    sim.evolve3D(dt, flux[:4], srcpos[:, :4])
+    sim.write_output(zlist[1])
+    temp_saved = np.asarray(sim.temp).copy()
+    assert temp_saved.std() > 0   # heating actually changed T
+
+    base2 = base.replace("resume: 0", "resume: 1")
+    pfile2 = str(tmp_path / "p2.yml")
+    open(pfile2, "w").write(base2)
+    sim2 = pc2r.C2Ray_CubeP3M(pfile2, N)
+    np.testing.assert_allclose(np.asarray(sim2.temp).reshape(-1),
+                               temp_saved.reshape(-1), rtol=1e-12)
