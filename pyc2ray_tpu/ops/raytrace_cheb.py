@@ -563,23 +563,8 @@ class ChebRaytracer:
         halos back (``_fold_padding`` / ``halo_reduce``)."""
         g = self.geom
         nhi_pad = nhi_ext
-        # Accumulator with tile-alignment slack: the per-source
-        # scatter-add below splits into an (8,128)-tile-ALIGNED outer
-        # window RMW plus a small in-window unaligned update — a
-        # misaligned Dc^3 dynamic-update-slice into the big accumulator
-        # straddles tiles in both minor dims and profiles ~3x the
-        # aligned-traffic roofline (docs/TPU_PERFORMANCE_NOTES.md). The
-        # slack rows are only ever read/written by the aligned window
-        # (adding zeros) and are sliced off before returning.
-        E = nhi_pad.shape
-        Dc = g.Dc
-        L = [e - Dc + 1 for e in E]         # source-position extents
-        Wj, Wk = Dc + 8, Dc + 128           # aligned window sizes
-        Ej = max(E[1], (L[1] - 1) // 8 * 8 + Wj)
-        Ek = max(E[2], (L[2] - 1) // 128 * 128 + Wk)
-        acc_shape = (E[0], Ej, Ek)
-        phi_pad0 = jnp.zeros(acc_shape, dtype=self.dtype)
-        heat_pad0 = jnp.zeros(acc_shape, dtype=self.dtype) \
+        phi_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype)
+        heat_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype) \
             if self.do_heating else jnp.zeros((1,), dtype=self.dtype)
 
         def batch_step(b, carry):
@@ -608,18 +593,10 @@ class ChebRaytracer:
             def accum(pad, boxes_v):
                 def one(p_acc, xs2):
                     pv, box = xs2
-                    # tile-aligned outer window + small in-window update
-                    j0 = pv[1] // 8 * 8
-                    k0 = pv[2] // 128 * 128
-                    win = lax.dynamic_slice(
-                        p_acc, (pv[0], j0, k0), (g.Dc, Wj, Wk))
-                    dj, dk = pv[1] - j0, pv[2] - k0
-                    z = jnp.zeros((), pv.dtype)
-                    sub = lax.dynamic_slice(win, (z, dj, dk), (g.Dc,) * 3)
-                    win = lax.dynamic_update_slice(win, sub + box,
-                                                   (z, dj, dk))
+                    cur = lax.dynamic_slice(
+                        p_acc, (pv[0], pv[1], pv[2]), (g.Dc,) * 3)
                     return lax.dynamic_update_slice(
-                        p_acc, win, (pv[0], j0, k0)), None
+                        p_acc, cur + box, (pv[0], pv[1], pv[2])), None
                 pad, _ = lax.scan(one, pad, (pos, boxes_v))
                 return pad
 
@@ -630,9 +607,6 @@ class ChebRaytracer:
 
         phi_pad, heat_pad = lax.fori_loop(
             0, pos_b.shape[0], batch_step, (phi_pad0, heat_pad0))
-        phi_pad = phi_pad[:, :E[1], :E[2]]
-        if self.do_heating:
-            heat_pad = heat_pad[:, :E[1], :E[2]]
         return phi_pad, (heat_pad if self.do_heating else None)
 
     def _trace_impl(self, tb, ndens3, xh3, pos_b, flux_b, dr):
