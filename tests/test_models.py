@@ -234,3 +234,56 @@ def test_cubep3m_resume_thermal_channel(tmp_path):
     sim2 = pc2r.C2Ray_CubeP3M(pfile2, N)
     np.testing.assert_allclose(np.asarray(sim2.temp).reshape(-1),
                                temp_saved.reshape(-1), rtol=1e-12)
+
+
+def test_paper244_model_end_to_end(tmp_path):
+    """C2Ray_244Test: Mpc/h units, EdS analytic time<->z, incremental
+    dilution, catch-up, outputs and resume (c2ray_244paper.py:29-387)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "eor_simulation"))
+    from run_test import make_synthetic_inputs
+
+    N = 12
+    inputs = str(tmp_path / "inputs") + "/"
+    results = str(tmp_path / "results") + "/"
+    os.makedirs(results)
+    zlist = [21.062, 20.134]
+    make_synthetic_inputs(N, inputs, zlist)
+
+    base = open(os.path.join(os.path.dirname(__file__), "..", "examples",
+                             "eor_simulation", "parameters.yml")).read()
+    base = base.replace("results_basename: ./results/",
+                        f"results_basename: {results}")
+    base = base.replace("inputs_basename: ./inputs/",
+                        f"inputs_basename: {inputs}")
+    base = base.replace("NumTau: 2000", "NumTau: 200")
+    base = base.replace("dtype: float32", "dtype: float64")
+    base = base.replace("engine: adaptive", "engine: cheb")
+    pfile = str(tmp_path / "p.yml")
+    open(pfile, "w").write(base)
+
+    sim = pc2r.C2Ray_244Test(pfile, N)
+    # EdS analytic inverse pair
+    z = 18.7
+    assert abs(sim.time2zred(sim.zred2time(z)) - z) < 1e-8
+    sim.read_density(zlist[0])
+    srcpos, flux = sim.read_sources(os.path.join(
+        inputs, "sources", f"{zlist[0]:.3f}-sources.hdf5"))
+    dt = sim.set_timestep(zlist[0], zlist[1], 1)
+    xh0 = sim.xh.mean()
+    dr0 = float(sim.dr)
+    sim.cosmo_evolve(dt)
+    assert float(sim.dr) > dr0      # proper cell size grows with expansion
+    sim.evolve3D(dt, flux[:4], srcpos[:, :4])
+    assert sim.xh.mean() > xh0
+    sim.cosmo_evolve_to_now()
+    assert abs(sim.time2zred(sim.time) - sim.zred) < 1e-10
+    sim.write_output(zlist[1])
+
+    base2 = base.replace("resume: 0", "resume: 1")
+    pfile2 = str(tmp_path / "p2.yml")
+    open(pfile2, "w").write(base2)
+    sim2 = pc2r.C2Ray_244Test(pfile2, N)
+    assert abs(sim2.zred_0 - zlist[1]) < 1e-3
+    np.testing.assert_allclose(sim2.xh, sim.xh, rtol=1e-12)
