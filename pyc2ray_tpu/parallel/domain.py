@@ -522,6 +522,11 @@ class DomainDecomposition:
                     sargs += [srcs[2 * k], srcs[2 * k + 1]]
             return jstep(eng.tables, ndens, temp, xh, xh_av,
                          *sargs, dt, dr)
+        # introspection hooks (tests assert the compiled collective
+        # traffic matches the O(surface * R) halo model)
+        step_with_tables._jitted = jstep
+        step_with_tables._tables = eng.tables
+        step_with_tables._srcs = [s for s in srcs if s is not None]
         return step_with_tables
 
     # -- helium (three-species) sharded paths -----------------------------

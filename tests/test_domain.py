@@ -261,3 +261,51 @@ def test_evolve3D_domain_3d_nondivisible():
                                rtol=1e-11)
     np.testing.assert_allclose(xh_d, np.asarray(xh_s).reshape(N, N, N),
                                rtol=1e-11)
+
+
+def test_domain_step_collective_traffic_matches_model():
+    """Hard guarantee for the O(surface x halo) traffic claim: the
+    compiled HLO of the domain step must move EXACTLY the halo volume
+    through collective-permutes (gather + adjoint reduce per axis) and
+    contain no grid-sized all-gathers/all-reduces — the reference's MPI
+    path moves 2*N^3 words per rank per iteration instead
+    (reference evolve.py:433-437)."""
+    import re
+    from pyc2ray_tpu.ops.chemistry import ChemistryParams
+
+    N = 16
+    eng = _engine(N, R=3.0)
+    dd = DomainDecomposition(eng, make_domain_mesh(2, 2, 2))
+    rng = np.random.RandomState(11)
+    srcs = dd.prepare_sources(rng.randint(0, N, (6, 3)), np.ones(6))
+    assert srcs[2] is not None   # boundary sources present -> exchange
+    step = dd.make_step(CHEM, srcs)
+    f = jnp.ones((N, N, N), jnp.float64)
+    args = (step._tables, f, f * 1e4, f * 1e-3, f * 1e-3, *step._srcs,
+            jnp.float64(1e13), jnp.float64(2e21))
+    txt = step._jitted.lower(*args).compile().as_text()
+
+    tot = 0
+    for m in re.finditer(r"collective-permute(?:-start)?\(", txt):
+        line = txt[txt.rfind("\n", 0, m.start()) + 1:txt.find("\n", m.end())]
+        shp = re.search(r"f(32|64)\[([0-9,]*)\]", line)
+        if shp:
+            n = 1
+            dims = shp.group(2)
+            for d in (dims.split(",") if dims else []):
+                n *= int(d)
+            tot += n * (4 if shp.group(1) == "32" else 8)
+
+    # analytic halo model: gather (hlo+hhi) * cross-section per axis on
+    # the progressively extended block, and the adjoint reduce moves the
+    # same volume back
+    h = dd.hlo + dd.hhi
+    Li, Lj, Lk = dd.Li, dd.Lj, dd.Lk
+    expect_elems = 2 * h * (Lj * Lk + (Li + h) * Lk + (Li + h) * (Lj + h))
+    assert tot == expect_elems * 8, (tot, expect_elems * 8)
+
+    # far below the reference's replicated Reduce+Bcast...
+    assert tot < 2 * N ** 3 * 8
+    # ...and no hidden grid-sized collectives
+    assert not re.search(r"all-gather[^\n]*\[16,16,16\]", txt)
+    assert not re.search(r"all-reduce[^\n]*f64\[16,16,16\]", txt)
