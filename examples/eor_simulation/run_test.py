@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 
-def make_synthetic_inputs(N, basedir, zlist):
+def make_synthetic_inputs(N, basedir, zlist, ns=200):
     """Generate a synthetic density + source input set (the role of
     archive/fake_cosmo_for_report in the reference)."""
     import h5py
@@ -29,7 +29,6 @@ def make_synthetic_inputs(N, basedir, zlist):
         with open(fn, "wb") as f:
             np.asarray([N, N, N], dtype=np.int32).tofile(f)
             rho.flatten(order="F").tofile(f)
-        ns = 200
         with h5py.File(os.path.join(basedir, "sources",
                                     f"{z:.3f}-sources.hdf5"), "w") as f:
             f["sources_positions"] = rng.randint(1, N + 1, size=(ns, 3))
@@ -42,6 +41,8 @@ def main():
     parser.add_argument("--num_steps", type=int, default=2)
     parser.add_argument("--num_slices", type=int, default=3)
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--numsrc", type=int, default=200,
+                        help="sources per slice for --synthetic")
     args = parser.parse_args()
 
     import pyc2ray_tpu as pc2r
@@ -54,7 +55,7 @@ def main():
     zlist = np.array([21.062, 20.134, 19.284, 18.501, 17.778, 17.108])
     zlist = zlist[: args.num_slices + 1]
     if args.synthetic:
-        make_synthetic_inputs(args.N, "./inputs", zlist)
+        make_synthetic_inputs(args.N, "./inputs", zlist, ns=args.numsrc)
 
     sim = pc2r.C2Ray_CubeP3M(paramfile, args.N, use_gpu=True)
 

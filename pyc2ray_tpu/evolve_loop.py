@@ -83,6 +83,16 @@ def run_convergence_loop(iteration, num_cells, num_src,
     while not converged and niter < max_iterations:
         niter += 1
         res = iteration(niter)
+        # failure detection (beyond reference, which has none —
+        # SURVEY.md section 5): a NaN/Inf in the global sums means the
+        # physics state is corrupt; without this check the NaN
+        # comparisons below would silently spin to max_iterations
+        if not (np.isfinite(res.sum_xh1) and np.isfinite(res.sum_xh0)):
+            msg = (f"non-finite global state at iteration {niter} "
+                   f"(sum_xh1={res.sum_xh1!r}, sum_xh0={res.sum_xh0!r}) — "
+                   "inputs or timestep produced NaN/Inf fields")
+            printlog("ERROR: " + msg, logfile, quiet)
+            raise FloatingPointError(msg)
         rel1 = (abs((res.sum_xh1 - prev_sum_xh1) / res.sum_xh1)
                 if res.sum_xh1 > 0 else 1.0)
         rel0 = (abs((res.sum_xh0 - prev_sum_xh0) / res.sum_xh0)
@@ -103,5 +113,11 @@ def run_convergence_loop(iteration, num_cells, num_src,
         converged = (res.conv_flag < criterion) or (
             (rel1 < convergence_fraction) and (rel0 < convergence_fraction))
         prev_sum_xh1, prev_sum_xh0 = res.sum_xh1, res.sum_xh0
-    printlog("Multiple source convergence reached.", logfile, quiet)
+    if converged:
+        printlog("Multiple source convergence reached.", logfile, quiet)
+    else:
+        printlog(f"WARNING: evolve loop hit max_iterations = "
+                 f"{max_iterations} without converging "
+                 f"({int(res.conv_flag)} cells above the criterion)",
+                 logfile, quiet)
     return niter

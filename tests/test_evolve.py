@@ -114,3 +114,18 @@ def test_stromgren_sphere_ifront(tmp_path):
     # front is sharp: center ionized, corners neutral
     assert xh[N // 2, N // 2, N // 2] > 0.99
     assert xh[0, 0, 0] < 0.01
+
+
+def test_nonfinite_state_detected():
+    """The convergence loop must abort on NaN global sums instead of
+    silently spinning to max_iterations (failure detection — the
+    reference has none, SURVEY section 5)."""
+    import pytest
+    from pyc2ray_tpu.evolve_loop import IterationResult, \
+        run_convergence_loop
+
+    def bad_iteration(niter):
+        return IterationResult(10, float("nan"), 1.0)
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        run_convergence_loop(bad_iteration, 1000, 5, quiet=True)
