@@ -145,6 +145,14 @@ class C2RaySimulation:
             if self.thermal is not None:
                 self.temp = out[6]
             return
+        if self.mesh is not None and getattr(self.raytracer,
+                                             "needs_flux_bucketing", False):
+            raise NotImplementedError(
+                "Raytracing.engine: adaptive is a single-device engine "
+                "(flux buckets of fixed-radius sub-engines; bucketing "
+                "across shards would fragment the per-device batches — "
+                "docs/PARITY.md capability matrix). Under a mesh use "
+                "engine: cheb or pallas.")
         if self.mesh is not None and "di" in self.mesh.axis_names:
             from ..parallel.domain import (DomainDecomposition,
                                            evolve3D_domain)

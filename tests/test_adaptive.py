@@ -93,3 +93,31 @@ def test_mixed_catalog_additivity():
             total += np.asarray(eng.trace(nd, xh, src[sel], flux[sel], DR))
     np.testing.assert_allclose(np.asarray(phi_a), total, rtol=1e-13)
     assert sum(st["bucket_counts"]) == 6
+
+
+def test_adaptive_under_mesh_raises_clearly(tmp_path):
+    """engine: adaptive + a mesh must raise an actionable error, not an
+    AttributeError from a missing shard_trace."""
+    import os
+    import jax
+    import pytest
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import pyc2ray_tpu as pc2r
+    from pyc2ray_tpu.parallel import make_mesh
+
+    src = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "single_source_test", "parameters.yml")
+    params = open(src).read().replace("NumTau: 2000", "NumTau: 200")
+    params = params.replace("dtype: float64",
+                            "dtype: float64\n  engine: adaptive")
+    params = params.replace("results_basename: ./results/",
+                            f"results_basename: {tmp_path}/")
+    pfile = str(tmp_path / "p.yml")
+    open(pfile, "w").write(params)
+    N = 8
+    sim = pc2r.C2Ray_Test(pfile, N, use_gpu=True, mesh=make_mesh())
+    sim.ndens = 1e-3 * np.ones((N, N, N))
+    with pytest.raises(NotImplementedError, match="single-device engine"):
+        sim.evolve3D(1e13, np.ones(1),
+                     np.array([[4.0], [4.0], [4.0]]))
