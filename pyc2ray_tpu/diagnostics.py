@@ -85,7 +85,7 @@ def trace_annotated(name, fn):
 
 
 @contextlib.contextmanager
-def profile_trace(outdir, sync=None):
+def profile_trace(outdir):
     """Capture a device profile of the enclosed block into ``outdir``.
 
     Thin wrapper over ``jax.profiler.trace`` that forces completion of

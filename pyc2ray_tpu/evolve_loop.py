@@ -80,6 +80,7 @@ def run_convergence_loop(iteration, num_cells, num_src,
     prev_sum_xh0 = 2.0 * num_cells
     converged = False
     niter = 0
+    res = None
     while not converged and niter < max_iterations:
         niter += 1
         res = iteration(niter)
@@ -116,8 +117,9 @@ def run_convergence_loop(iteration, num_cells, num_src,
     if converged:
         printlog("Multiple source convergence reached.", logfile, quiet)
     else:
+        tail = (f" ({int(res.conv_flag)} cells above the criterion)"
+                if res is not None else " (no iterations executed)")
         printlog(f"WARNING: evolve loop hit max_iterations = "
-                 f"{max_iterations} without converging "
-                 f"({int(res.conv_flag)} cells above the criterion)",
+                 f"{max_iterations} without converging{tail}",
                  logfile, quiet)
     return niter

@@ -153,6 +153,12 @@ class C2RaySimulation:
                 "across shards would fragment the per-device batches — "
                 "docs/PARITY.md capability matrix). Under a mesh use "
                 "engine: cheb or pallas.")
+        if self.mesh is not None and "di" not in self.mesh.axis_names \
+                and not hasattr(self.raytracer, "shard_trace"):
+            raise NotImplementedError(
+                f"engine {type(self.raytracer).__name__} does not support "
+                "the source-parallel mesh (no shard_trace); use engine: "
+                "cheb, pallas or flat under a mesh")
         if self.mesh is not None and "di" in self.mesh.axis_names:
             from ..parallel.domain import (DomainDecomposition,
                                            evolve3D_domain)

@@ -154,12 +154,16 @@ class C2Ray_CubeP3M(C2RaySimulation):
             else:
                 self.temp = temp0 * np.ones(self.shape)
             h1 = "%sxfracHe1_%.3f.dat" % (self.results_basename, self.zred)
-            if os.path.exists(h1):
+            h2 = "%sxfracHe2_%.3f.dat" % (self.results_basename, self.zred)
+            if os.path.exists(h1) and os.path.exists(h2):
                 self.xhe1 = read_cbin(h1, bits=64, order="F")
-                self.xhe2 = read_cbin(
-                    "%sxfracHe2_%.3f.dat" % (self.results_basename,
-                                             self.zred),
-                    bits=64, order="F")
+                self.xhe2 = read_cbin(h2, bits=64, order="F")
+            elif os.path.exists(h1) != os.path.exists(h2):
+                raise FileNotFoundError(
+                    "incomplete helium checkpoint: exactly one of "
+                    f"{h1} / {h2} exists (run interrupted mid-output?); "
+                    "remove the stray file to resume with default He "
+                    "fractions or restore the pair")
             self.phi_ion = read_cbin(
                 "%sIonRates_%.3f.dat" % (self.results_basename, self.zred),
                 bits=32, order="F")

@@ -74,7 +74,7 @@ def global_domain_mesh(pi=None, pj=None, pk=None):
     Defaults to the most-cubic factorization of the global device count
     so halo surfaces are minimized."""
     n = len(jax.devices())
-    if pi is None or pj is None or pk is None:
+    if pi is None and pj is None and pk is None:
         pk = 1
         for f in range(int(round(n ** (1.0 / 3.0))), 0, -1):
             if n % f == 0:
@@ -87,6 +87,12 @@ def global_domain_mesh(pi=None, pj=None, pk=None):
                 pj = f
                 break
         pi = m // pj
+    else:
+        # partially specified: missing minor axes default to 1, a
+        # missing pi absorbs the remaining devices
+        pj = 1 if pj is None else pj
+        pk = 1 if pk is None else pk
+        pi = n // (pj * pk) if pi is None else pi
     return make_domain_mesh(pi, pj, pk)
 
 

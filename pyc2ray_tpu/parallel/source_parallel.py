@@ -103,8 +103,10 @@ def make_sharded_step(raytracer: Raytracer, mesh, chem: ChemistryParams):
             return xi, xav, phi_ion, heat, conv_flag, sum1, sum0, absorbed
         return xi, xav, phi_ion, conv_flag, sum1, sum0, absorbed
 
+    jstep = jax.jit(step)
+
     def step_with_tables(*args):
-        return jax.jit(step)(raytracer.tables, *args)
+        return jstep(raytracer.tables, *args)
     return step_with_tables
 
 
@@ -271,9 +273,10 @@ def make_sharded_step_he(raytracer, mesh, phe):
                    jax.lax.psum(jnp.sum(1.0 - xi_s), axes),
                    jax.lax.psum(ab_s, axes)))
 
+    jstep = jax.jit(step)
+
     def step_with_tables(*args):
-        return jax.jit(step)(raytracer.eng.tables, raytracer.he_tables,
-                             *args)
+        return jstep(raytracer.eng.tables, raytracer.he_tables, *args)
     return step_with_tables
 
 
