@@ -89,3 +89,15 @@ def test_params_class(tmp_path):
     assert p.N == 64
     assert abs(p.temph0 - 13.598 / 8.617e-05) < 1e-6
     assert p.cosmology.Om0 == 0.27
+
+
+def test_checkpoint_he_and_temp_roundtrip(tmp_path):
+    """Full-state checkpoints carry the beyond-reference channels."""
+    d = str(tmp_path)
+    xh = np.random.RandomState(0).rand(4, 4, 4)
+    p = save_checkpoint(d, 9.0, xh, xh * 2, xh * 3, 1e15, 9.0,
+                        temp=xh * 1e4, xhe1=xh * 0.1, xhe2=xh * 0.01)
+    state = load_checkpoint(p)
+    np.testing.assert_array_equal(state["temp"], xh * 1e4)
+    np.testing.assert_array_equal(state["xhe1"], xh * 0.1)
+    np.testing.assert_array_equal(state["xhe2"], xh * 0.01)
