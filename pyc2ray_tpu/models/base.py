@@ -453,6 +453,12 @@ class C2RaySimulation:
                                 self.cs_pl_idx_h),
                 ion_freq_HI, 10 * ev2fr * self.ethe1,
                 panels=panels, nodes=nodes)
+            # Gamma accumulation strategy (see ChebRaytracer docstring):
+            # auto picks the spatially-packed window-matmul accumulate
+            # for small boxes, per-source scan RMW for large ones
+            accumulate = str(ld["Raytracing"].get("accumulate", "auto"))
+            window_size = ld["Raytracing"].get("window_size", None)
+            window_size = None if window_size is None else int(window_size)
             if engine == "adaptive":
                 # flux-bucketed per-source radii: the production answer
                 # to the reference's subbox machinery (consumes
@@ -465,7 +471,8 @@ class C2RaySimulation:
                     self.N, float(self.R_max_LLS), float(self.sig), bins,
                     radii=radii, batch_size=batch, dtype=dtype,
                     use_pallas=True, safety=safety,
-                    do_heating=self.compute_heating_rates)
+                    do_heating=self.compute_heating_rates,
+                    accumulate=accumulate, window_size=window_size)
                 self.printlog(
                     f"Using TPU adaptive-radius raytracing (buckets R = "
                     f"{self.raytracer.radii}, safety = {safety:g}, "
@@ -491,7 +498,8 @@ class C2RaySimulation:
                 self.N, float(self.R_max_LLS), float(self.sig), bins,
                 batch_size=batch, dtype=dtype,
                 do_heating=self.compute_heating_rates,
-                use_pallas=(engine == "pallas"))
+                use_pallas=(engine == "pallas"),
+                accumulate=accumulate, window_size=window_size)
             self.printlog(
                 f"Using TPU Chebyshev-face raytracing (r_max = "
                 f"{self.raytracer.geom.r_max:n}, {bins.num_bins} spectral "

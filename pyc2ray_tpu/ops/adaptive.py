@@ -72,7 +72,8 @@ class AdaptiveRaytracer:
 
     def __init__(self, N, R_max_LLS, sig, bins, radii=None, batch_size=8,
                  dtype=jnp.float32, use_pallas=False, safety=2.0,
-                 alpha_B=2.59e-13, R_min=4.0, do_heating=False):
+                 alpha_B=2.59e-13, R_min=4.0, do_heating=False,
+                 accumulate="auto", window_size=None):
         self.N = int(N)
         self.R_max = float(R_max_LLS)
         self.safety = float(safety)
@@ -93,10 +94,25 @@ class AdaptiveRaytracer:
                 radii = [float(min(R_max_LLS, N))]
             radii = sorted(radii)
         self.radii = [float(r) for r in radii]
+
+        def bucket_batch(r):
+            # Small-R buckets in window-accumulate mode amortize their
+            # per-batch fixed costs (window RMW pair, placement einsums)
+            # over more sources; the sweep's VMEM working set shrinks
+            # with the box so larger batches stay safe there.
+            if accumulate == "scan":
+                return batch_size
+            if r <= 12.0:
+                return max(batch_size, 32)
+            if r <= 24.0:
+                return max(batch_size, 16)
+            return batch_size
+
         self.engines = [
-            ChebRaytracer(N, r, sig, bins, batch_size=batch_size,
+            ChebRaytracer(N, r, sig, bins, batch_size=bucket_batch(r),
                           dtype=dtype, use_pallas=use_pallas,
-                          do_heating=do_heating)
+                          do_heating=do_heating, accumulate=accumulate,
+                          window_size=window_size)
             for r in self.radii]
         self.dtype = dtype
         self.config = self.engines[-1].config

@@ -32,6 +32,35 @@ __all__ = ["ChebRaytracer", "ChebTables"]
 FOURPI = 12.566370614359172463991853874177
 
 
+def _morton_code(pos):
+    """Interleave the low 10 bits of each axis (grids up to 1024^3).
+    Spatially close sources get close codes, so sorted order packs
+    tight accumulation windows."""
+    code = np.zeros(len(pos), dtype=np.uint64)
+    p = np.asarray(pos, dtype=np.uint64)
+    for bit in range(10):
+        for ax in range(3):
+            code |= ((p[:, ax] >> np.uint64(bit)) & np.uint64(1)) \
+                << np.uint64(3 * bit + ax)
+    return code
+
+
+class PackedPositions(NamedTuple):
+    """Marker pytree for span-packed source batches.
+
+    Produced ONLY by ChebRaytracer._prepare_sources_packed, which
+    guarantees every batch's box-start bounding box spans at most
+    W - Dc cells per axis. The trace path dispatches on this STRUCTURE
+    (a host-level fact, part of the jit signature): wrapped positions
+    take the one-window-RMW-per-batch accumulate, bare arrays always
+    take the per-source scan — so arbitrary externally built batches
+    (e.g. the parallel staging paths) remain correct with no
+    data-dependent lax.cond, which would copy the full padded
+    accumulator through the conditional every batch (measured
+    ~335 us/batch at 250^3)."""
+    pos: object      # (nb, B, 3) int32
+
+
 class ChebTables(NamedTuple):
     sw: object          # (3, 4, R1, Dc, Dc)
     geom_x: object      # (R1, 8, Dc, 2*Dc) packed for the Pallas kernel;
@@ -46,6 +75,9 @@ class ChebTables(NamedTuple):
     path3: object       # (Dc, Dc, Dc)
     dist2: object       # (Dc, Dc, Dc)
     rate_valid: object  # (Dc, Dc, Dc) bool
+    path3_s: object     # (Ds, Ds, Ds) rates-subbox slices, pre-cut:
+    dist2_s: object     # slicing the full tables inside the batch loop
+    rate_valid_s: object  # shows up as un-hoisted per-batch copies
     bins_s: object
     bins_w: object
     bins_wh: object
@@ -59,7 +91,8 @@ class ChebRaytracer:
 
     def __init__(self, N, R_max_LLS, sig, bins: SpectralBins,
                  batch_size=8, dtype=jnp.float32, do_heating=False,
-                 use_pallas=False, fuse_rates=False):
+                 use_pallas=False, fuse_rates=False, accumulate="auto",
+                 window_size=None):
         self.N = int(N)
         self.R_max_LLS = float(R_max_LLS)
         self.sig = float(sig)
@@ -67,6 +100,10 @@ class ChebRaytracer:
         self.dtype = dtype
         self.do_heating = bool(do_heating)
         self.use_pallas = bool(use_pallas)
+        if accumulate not in ("auto", "scan", "window"):
+            raise ValueError(
+                f"Raytracing.accumulate must be one of 'auto', 'scan', "
+                f"'window' (got {accumulate!r})")
         # Fusing the rate pass into the kernel is supported but measured
         # SLOWER at 64 bins (the unrolled in-kernel exp chains cost more
         # than the separate dense XLA rates pass); default off.
@@ -91,9 +128,47 @@ class ChebRaytracer:
         # static (s, w) pairs for the fused-rates Pallas kernel
         self._bins_static = tuple(
             (float(s), float(w)) for s, w in zip(bins.s, bins.w_photo))
+        # --- Gamma accumulation strategy ------------------------------
+        # "scan": per-source dynamic_slice + dynamic_update_slice RMW on
+        # the padded accumulator. On this stack each sequential DUS costs
+        # a FIXED ~20 us regardless of window size (TPU_PERFORMANCE_NOTES
+        # "small-box cost floor"), i.e. ~40-47 us/source — the dominant
+        # cost of the production small-R regime (the reference's subbox
+        # regime, raytracing.f90:183-226).
+        # "window": sources are packed into spatially local batches
+        # (prepare_sources), each batch's phi boxes are placed into one
+        # shared (W,W,W) window via one-hot batched matmuls (MXU work,
+        # no scatter), and the padded accumulator takes ONE RMW pair per
+        # batch instead of per source. Falls back to the scan path per
+        # batch (lax.cond) whenever a batch is not span-packed, so it is
+        # correct for arbitrary batches (e.g. the parallel staging paths).
+        pad_full = self.N + g.Dc - 1     # single-device padded extent
+        if window_size is not None:
+            W = int(window_size)
+        else:
+            W = max(64, 2 * g.Dc)
+        W = min(W, pad_full)
+        W = max(W, g.Dc)
+        if accumulate == "auto":
+            # pays off when the box is small vs the window (per-source
+            # placement cost ~ Dc*W^2 words streamed vs the fixed ~40 us
+            # DUS pair); at Dc >~ 48 the streaming term wins out
+            accumulate = "window" if (g.Dc <= 40 and W - g.Dc >= 8) \
+                else "scan"
+        self.accumulate = accumulate
+        self.window_W = W
+        # Rates subbox: every rated cell (Euclidean dist <= R) lies in
+        # the central (2 ceil(R)+1)^3 cube, which is strictly smaller
+        # than the sublane-aligned sweep box Dc (17^3 of 24^3 at R=8 —
+        # 2.8x fewer exp evaluations in the compute-bound rate pass).
+        rs = int(np.ceil(min(float(R_max_LLS), float(N))))
+        self._rb0 = max(0, g.c - rs)
+        self._rb1 = min(g.Dc, g.c + rs + 1)
+        self.Ds = self._rb1 - self._rb0
         from .pallas_sweep import pack_geometry
         np_dt = np.float32 if dt == jnp.float32 else np.float64
         geom_np = pack_geometry(g, np_dt)
+        sub3 = (slice(self._rb0, self._rb1),) * 3
         self.tables = ChebTables(
             geom_x=jnp.asarray(geom_np[0]),
             geom_y=jnp.asarray(geom_np[1]),
@@ -106,6 +181,9 @@ class ChebRaytracer:
             path3=jnp.asarray(g.path3, dt),
             dist2=jnp.asarray(g.dist2, dt),
             rate_valid=jnp.asarray(g.rate_valid),
+            path3_s=jnp.asarray(g.path3[sub3], dt),
+            dist2_s=jnp.asarray(g.dist2[sub3], dt),
+            rate_valid_s=jnp.asarray(g.rate_valid[sub3]),
             bins_s=jnp.asarray(bins.s, dt),
             bins_w=jnp.asarray(bins.w_photo, dt),
             bins_wh=jnp.asarray(bins.w_heat, dt))
@@ -114,6 +192,8 @@ class ChebRaytracer:
     # ------------------------------------------------------------------
     def prepare_sources(self, src_pos, src_flux):
         B = self.batch_size
+        if self.accumulate == "window":
+            return self._prepare_sources_packed(src_pos, src_flux)
         ns = src_flux.shape[0]
         nb = -(-ns // B)
         pos = np.zeros((nb * B, 3), dtype=np.int32)
@@ -122,6 +202,55 @@ class ChebRaytracer:
         flx[:ns] = np.asarray(src_flux, dtype=np.float64)
         return (jnp.asarray(pos.reshape(nb, B, 3)),
                 jnp.asarray(flx.reshape(nb, B), dtype=self.dtype))
+
+    def _prepare_sources_packed(self, src_pos, src_flux):
+        """Morton-sorted greedy packing into span-bounded batches.
+
+        Every batch's box-start bounding box spans at most W - Dc cells
+        per axis, so all of its (Dc,Dc,Dc) boxes fit in one (W,W,W)
+        accumulation window (the trace-time lax.cond then always takes
+        the window branch). Padding sources get zero flux and sit at the
+        batch's bbox minimum (inside the window by construction)."""
+        pos = np.asarray(src_pos, dtype=np.int64).reshape(-1, 3)
+        flx = np.asarray(src_flux, dtype=np.float64).reshape(-1)
+        B = self.batch_size
+        span = self.window_W - self.geom.Dc
+        if len(pos) == 0:
+            return (PackedPositions(jnp.zeros((1, B, 3), jnp.int32)),
+                    jnp.zeros((1, B), dtype=self.dtype))
+        order = np.argsort(_morton_code(pos), kind="stable")
+        batches = []
+        cur = []
+        lo = hi = None
+        for idx in order:
+            p = pos[idx]
+            if cur:
+                nlo = np.minimum(lo, p)
+                nhi = np.maximum(hi, p)
+                if len(cur) == B or np.any(nhi - nlo > span):
+                    batches.append(cur)
+                    cur, lo, hi = [], None, None
+                else:
+                    lo, hi = nlo, nhi
+                    cur.append(idx)
+                    continue
+            cur.append(idx)
+            lo = hi = p
+        if cur:
+            batches.append(cur)
+        nb = len(batches)
+        pos_out = np.zeros((nb, B, 3), dtype=np.int32)
+        flx_out = np.zeros((nb, B), dtype=np.float64)
+        for i, bidx in enumerate(batches):
+            k = len(bidx)
+            pos_out[i, :k] = pos[bidx]
+            flx_out[i, :k] = flx[bidx]
+            pos_out[i, k:] = pos[bidx].min(axis=0)
+        span = pos_out.max(axis=1) - pos_out.min(axis=1)
+        assert span.max() <= self.window_W - self.geom.Dc, \
+            "internal: packed batch exceeds the window span"
+        return (PackedPositions(jnp.asarray(pos_out)),
+                jnp.asarray(flx_out, dtype=self.dtype))
 
 
     # -- uniform engine API --------------------------------------------
@@ -473,26 +602,39 @@ class ChebRaytracer:
 
     # ------------------------------------------------------------------
     def _rates(self, tb, cd, nhi_box, flux, dr):
-        """Dense spectral-bin rate pass over the box (B, Dc, Dc, Dc)."""
+        """Dense spectral-bin rate pass over the central rates SUBBOX.
+
+        Inputs are full (B, Dc, Dc, Dc) sweep boxes; rates are evaluated
+        only on the (Ds, Ds, Ds) cube [rb0, rb1) per axis that contains
+        every cell with dist <= R (the pass is exp-compute-bound, so
+        shrinking the domain is a direct win over masking). Returns
+        (phi, heat) of shape (B, Ds, Ds, Ds); callers accumulate them at
+        box position + rb0."""
         g = self.geom
         dt = self.dtype
         sig = jnp.asarray(self.sig, dt)
-        dcol = nhi_box * (tb.path3[None] * dr)
+        b0, b1, Ds = self._rb0, self._rb1, self.Ds
+        sub = (slice(None), slice(b0, b1), slice(b0, b1), slice(b0, b1))
+        cd = cd[sub]
+        nhi_box = nhi_box[sub]
+        path3 = tb.path3_s
+        dist2 = tb.dist2_s
+        dcol = nhi_box * (path3[None] * dr)
         cdin = cd - dcol
         tau_in = cdin * sig
         dtau = dcol * sig
 
-        c = g.c
-        i3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 0)
-        j3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 1)
-        k3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 2)
-        is_src = ((i3 == c) & (j3 == c) & (k3 == c))[None]
+        cs = g.c - b0
+        i3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 0)
+        j3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 1)
+        k3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 2)
+        is_src = ((i3 == cs) & (j3 == cs) & (k3 == cs))[None]
 
         s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
                              - 3.0 * jnp.log(dr))
         geom_fact = jnp.where(
             is_src, 1.0,
-            1.0 / (tb.dist2[None] * tb.path3[None] * FOURPI))
+            1.0 / (dist2[None] * path3[None] * FOURPI))
         prefact = flux[:, None, None, None] * s_over_dr3 * geom_fact
 
         acc = jnp.zeros_like(cd)
@@ -505,9 +647,9 @@ class ChebRaytracer:
                 acc_h = acc_h + tb.bins_wh[e] * core
 
         R2 = jnp.asarray(self.R_max_LLS ** 2, dt)
-        mask = (tb.rate_valid[None]
+        mask = (tb.rate_valid_s[None]
                 & (cdin <= jnp.asarray(MAX_COLDENSH, dt))
-                & (tb.dist2[None] <= R2))
+                & (dist2[None] <= R2))
         phi = jnp.where(mask, prefact * acc / nhi_box, 0.0)
         heat = (jnp.where(mask, prefact * acc_h / nhi_box, 0.0)
                 if self.do_heating else None)
@@ -550,6 +692,44 @@ class ChebRaytracer:
             out = core
         return out
 
+    def _axis_onehots(self, off, W, D=None):
+        """Per-axis one-hot placement matrices (B, D, W):
+        M[s, a, w] = 1 iff w == off[s, ax] + a. D defaults to the full
+        sweep-box side Dc (pass Ds for the rates subbox)."""
+        D = self.geom.Dc if D is None else D
+        a2 = lax.broadcasted_iota(jnp.int32, (D, W), 0)
+        w2 = lax.broadcasted_iota(jnp.int32, (D, W), 1)
+        return tuple(
+            ((off[:, ax, None, None] + a2[None]) == w2[None])
+            .astype(self.dtype) for ax in range(3))
+
+    def _place_boxes(self, boxes, oh):
+        """Place B (Dc,Dc,Dc) boxes at integer offsets into one (W,W,W)
+        window — scatter expressed as three one-hot batched matmuls so
+        it runs on the MXU instead of the ~20 us/op sequential
+        dynamic-update path. Each intermediate element has exactly one
+        nonzero contribution (placement is injective per source), and
+        Precision.HIGHEST keeps the one-hot products exact, so the
+        result matches the scan path up to f32 summation order across
+        sources and f32 denormal flushing in the matmul path (absolute
+        error <= ~1.2e-38 per cell — only deep-attenuation cells with
+        physically negligible rates are affected; TPU hardware flushes
+        denormals everywhere anyway)."""
+        hp = lax.Precision.HIGHEST
+        t = jnp.einsum("sabc,scw->sabw", boxes, oh[2], precision=hp)
+        t = jnp.einsum("sabw,sbv->savw", t, oh[1], precision=hp)
+        return jnp.einsum("savw,sau->uvw", t, oh[0], precision=hp)
+
+    def _extract_from_window(self, win, oh):
+        """Gather B (Dc,Dc,Dc) boxes out of one (W,W,W) window — the
+        transpose of _place_boxes, on the MXU. Each output element is
+        exactly one window value times 1.0, so the extraction is exact
+        (modulo f32 denormal flushing)."""
+        hp = lax.Precision.HIGHEST
+        t = jnp.einsum("sau,uvw->savw", oh[0], win, precision=hp)
+        t = jnp.einsum("sbv,savw->sabw", oh[1], t, precision=hp)
+        return jnp.einsum("scw,sabw->sabc", oh[2], t, precision=hp)
+
     def trace_extended(self, tb, nhi_ext, pos_b, flux_b, dr):
         """Core batched sweep over an EXTENDED field.
 
@@ -566,6 +746,12 @@ class ChebRaytracer:
         phi_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype)
         heat_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype) \
             if self.do_heating else jnp.zeros((1,), dtype=self.dtype)
+        W = self.window_W
+        packed = isinstance(pos_b, PackedPositions)
+        if packed:
+            pos_b = pos_b.pos
+        use_window = (packed and self.accumulate == "window"
+                      and all(s >= W for s in nhi_pad.shape))
 
         def batch_step(b, carry):
             phi_pad, heat_pad = carry
@@ -576,7 +762,16 @@ class ChebRaytracer:
             flux = lax.dynamic_slice(
                 flux_b, (b.astype(jnp.int32), z32),
                 (1,) + flux_b.shape[1:])[0]
-            boxes = self._extract_boxes(nhi_pad, pos)
+            if use_window:
+                hi = jnp.asarray([s - W for s in nhi_pad.shape], jnp.int32)
+                origin = jnp.clip(jnp.min(pos, axis=0), 0, hi)
+                off = pos - origin[None]
+                oh = self._axis_onehots(off, W)
+                o3 = (origin[0], origin[1], origin[2])
+                boxes = self._extract_from_window(
+                    lax.dynamic_slice(nhi_pad, o3, (W,) * 3), oh)
+            else:
+                boxes = self._extract_boxes(nhi_pad, pos)
             if self.use_pallas and self.fuse_rates and not self.do_heating:
                 gamma_nf = self._sweep_pallas(tb, boxes, dr, fuse_rates=True)
                 phi_box = gamma_nf * flux[:, None, None, None]
@@ -590,20 +785,46 @@ class ChebRaytracer:
                 cd = self._sweep(tb, boxes, dr)
                 phi_box, heat_box = self._rates(tb, cd, boxes, flux, dr)
 
+            # the rate pass returns the (Ds)^3 subbox; the fused-kernel
+            # path returns the full (Dc)^3 box. Accumulate whichever at
+            # box position + shift.
+            D = phi_box.shape[-1]
+            shift = self._rb0 if D == self.Ds else 0
+
             def accum(pad, boxes_v):
                 def one(p_acc, xs2):
                     pv, box = xs2
-                    cur = lax.dynamic_slice(
-                        p_acc, (pv[0], pv[1], pv[2]), (g.Dc,) * 3)
+                    p0 = (pv[0] + shift, pv[1] + shift, pv[2] + shift)
+                    cur = lax.dynamic_slice(p_acc, p0, (D,) * 3)
                     return lax.dynamic_update_slice(
-                        p_acc, cur + box, (pv[0], pv[1], pv[2])), None
+                        p_acc, cur + box, p0), None
                 pad, _ = lax.scan(one, pad, (pos, boxes_v))
                 return pad
 
-            phi_pad = accum(phi_pad, phi_box)
+            def scan_accum(phi_pad, heat_pad):
+                phi_pad = accum(phi_pad, phi_box)
+                if self.do_heating:
+                    heat_pad = accum(heat_pad, heat_box)
+                return phi_pad, heat_pad
+
+            if not use_window:
+                return scan_accum(phi_pad, heat_pad)
+
+            # window accumulate: one (W,W,W) RMW pair per BATCH instead
+            # of per source, with the in-window placement on the MXU.
+            # The span guarantee (every box fits the window) holds by
+            # construction of the PackedPositions batches.
+            oh_p = oh if (D == g.Dc and shift == 0) else \
+                self._axis_onehots(off + shift, W, D)
+            win = self._place_boxes(phi_box, oh_p)
+            cur = lax.dynamic_slice(phi_pad, o3, (W,) * 3)
+            phi_pad = lax.dynamic_update_slice(phi_pad, cur + win, o3)
             if self.do_heating:
-                heat_pad = accum(heat_pad, heat_box)
-            return (phi_pad, heat_pad)
+                winh = self._place_boxes(heat_box, oh_p)
+                curh = lax.dynamic_slice(heat_pad, o3, (W,) * 3)
+                heat_pad = lax.dynamic_update_slice(
+                    heat_pad, curh + winh, o3)
+            return phi_pad, heat_pad
 
         phi_pad, heat_pad = lax.fori_loop(
             0, pos_b.shape[0], batch_step, (phi_pad0, heat_pad0))

@@ -62,9 +62,12 @@ class HeRaytracer:
         # its own (H-only) bins/rates are never used here
         placeholder = SpectralBins(s=np.ones(1), w_photo=np.ones(1),
                                    w_heat=np.zeros(1), num_bins=1)
+        # accumulate="scan": the He trace path carries its own
+        # three-species accumulate; the host engine's window-packed
+        # staging (PackedPositions) is not used here
         self.eng = ChebRaytracer(N, R_max_LLS, st[0], placeholder,
                                  batch_size=batch_size, dtype=dtype,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, accumulate="scan")
         self.N = self.eng.N
         self.batch_size = self.eng.batch_size
         self.dtype = dtype

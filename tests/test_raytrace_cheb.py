@@ -118,3 +118,117 @@ def test_cheb_pallas_sweep_matches():
     phi_x = np.asarray(rt_x.trace(ndens, xh, src, flux, DR))
     phi_p = np.asarray(rt_p.trace(ndens, xh, src, flux, DR))
     np.testing.assert_allclose(phi_p, phi_x, rtol=2e-5, atol=0)
+
+
+# ---------------------------------------------------------------------
+# window (packed one-hot-matmul) accumulate vs the per-source scan
+# ---------------------------------------------------------------------
+
+def test_window_accumulate_matches_scan():
+    """The MXU window accumulate must reproduce the scan path. Diffs are
+    bounded by f32 summation order across sources plus denormal flushing
+    in the matmul path (absolute <= ~1.2e-38)."""
+    rng = np.random.default_rng(0)
+    N, R = 48, 9.0
+    nd = 1e-3 * (1 + 0.5 * rng.random((N, N, N)))
+    xh = 1e-4 * rng.random((N, N, N))
+    pos = rng.integers(0, N, (60, 3))
+    flux = 10 ** rng.uniform(-1, 2, 60)
+    common = dict(batch_size=16, dtype=jnp.float32)
+    e_scan = ChebRaytracer(N, R, SIG, grey_bins(), accumulate="scan",
+                           **common)
+    e_win = ChebRaytracer(N, R, SIG, grey_bins(), accumulate="window",
+                          **common)
+    assert e_win.accumulate == "window"
+    p1 = np.asarray(e_scan.trace(nd, xh, pos, flux, DR))
+    p2 = np.asarray(e_win.trace(nd, xh, pos, flux, DR))
+    assert ((p1 != 0) == (p2 != 0)).all()
+    big = np.abs(p1) > 1e-30
+    rel = np.abs(p1 - p2)[big] / np.abs(p1)[big]
+    assert rel.max() < 1e-5
+    # denormal-flush bound everywhere else (up to ~#overlapping-sources
+    # flushed contributions per cell)
+    assert np.abs(p1 - p2)[~big].max() < 60 * 1.2e-38
+
+
+def test_window_heating_channel():
+    """Window placement of the heating boxes must match the scan path."""
+    from pyc2ray_tpu.radiation import make_tau_table
+    rng = np.random.default_rng(1)
+    N, R = 32, 7.0
+    fmin = ev2fr * 13.598
+    bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
+                              fmin, 10 * fmin * 4, panels=2, nodes=4)
+    nd = 1e-3 * (1 + 0.5 * rng.random((N, N, N)))
+    xh = 1e-4 * rng.random((N, N, N))
+    pos = rng.integers(0, N, (30, 3))
+    flux = 10 ** rng.uniform(-1, 1, 30)
+    common = dict(batch_size=8, dtype=jnp.float32, do_heating=True)
+    e_scan = ChebRaytracer(N, R, SIG, bins, accumulate="scan", **common)
+    e_win = ChebRaytracer(N, R, SIG, bins, accumulate="window", **common)
+    p1, h1 = e_scan.trace(nd, xh, pos, flux, DR)
+    p2, h2 = e_win.trace(nd, xh, pos, flux, DR)
+    for a, b in ((p1, p2), (h1, h2)):
+        a, b = np.asarray(a), np.asarray(b)
+        big = np.abs(a) > 1e-30
+        assert (np.abs(a - b)[big] / np.abs(a)[big]).max() < 1e-5
+
+
+def test_packed_batches_span_invariant():
+    """Every packed batch must fit one accumulation window, cover all
+    sources exactly once, and preserve fluxes."""
+    rng = np.random.default_rng(2)
+    N, R = 64, 6.0
+    eng = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=8,
+                        dtype=jnp.float32, accumulate="window")
+    pos = rng.integers(0, N, (100, 3))
+    flux = 10 ** rng.uniform(-1, 2, 100)
+    pb, fb = eng.prepare_sources(pos, flux)
+    pb, fb = np.asarray(pb.pos), np.asarray(fb)
+    span = eng.window_W - eng.geom.Dc
+    assert (pb.max(axis=1) - pb.min(axis=1)).max() <= span
+    # all (pos, flux) pairs present exactly once among nonzero-flux slots
+    got = sorted((tuple(int(x) for x in p), float(f))
+                 for p, f in zip(pb.reshape(-1, 3), fb.reshape(-1))
+                 if f > 0)
+    want = sorted((tuple(int(x) for x in p), float(np.float32(f)))
+                  for p, f in zip(pos, flux))
+    assert got == want
+
+
+def test_window_engine_bare_batches_take_scan_path():
+    """Arbitrary (unpacked) batches through a window engine must be
+    bit-identical to the scan engine — the dispatch is on the
+    PackedPositions pytree structure, so bare arrays are always safe."""
+    rng = np.random.default_rng(3)
+    N, R = 48, 9.0
+    nd = 1e-3 * (1 + 0.5 * rng.random((N, N, N)))
+    xh = 1e-4 * rng.random((N, N, N))
+    pos = rng.integers(0, N, (20, 3))
+    flux = 10 ** rng.uniform(-1, 2, 20)
+    common = dict(batch_size=4, dtype=jnp.float32)
+    e_scan = ChebRaytracer(N, R, SIG, grey_bins(), accumulate="scan",
+                           **common)
+    e_win = ChebRaytracer(N, R, SIG, grey_bins(), accumulate="window",
+                          **common)
+    pb, fb = e_scan.prepare_sources(pos, flux)   # bare arrays
+    p1, _ = e_scan.trace_batches(jnp.asarray(nd.ravel(), jnp.float32),
+                                 jnp.asarray(xh.ravel(), jnp.float32),
+                                 pb, fb, jnp.asarray(DR, jnp.float32))
+    p2, _ = e_win.trace_batches(jnp.asarray(nd.ravel(), jnp.float32),
+                                jnp.asarray(xh.ravel(), jnp.float32),
+                                pb, fb, jnp.asarray(DR, jnp.float32))
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_rates_subbox_covers_sphere():
+    """The rates subbox [rb0, rb1) must contain every cell within
+    R_max_LLS of the source."""
+    for N, R in ((48, 9.0), (32, 3.5), (64, 16.0)):
+        eng = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=2,
+                            dtype=jnp.float32)
+        g = eng.geom
+        rv = np.asarray(g.rate_valid & (g.dist2 <= R * R))
+        idx = np.argwhere(rv)
+        assert idx.min() >= eng._rb0
+        assert idx.max() < eng._rb1
