@@ -98,15 +98,12 @@ class AdaptiveRaytracer:
         def bucket_batch(r):
             # Small-R buckets in window-accumulate mode amortize their
             # per-batch fixed costs (window RMW pair, placement einsums)
-            # over more sources; the sweep's VMEM working set shrinks
-            # with the box so larger batches stay safe there.
-            if accumulate == "scan":
+            # over more sources. B=16 measured best at R=8 and R=12 on
+            # v5e (larger batches lose packing fill faster than they
+            # gain amortization).
+            if accumulate == "scan" or r > 12.0:
                 return batch_size
-            if r <= 12.0:
-                return max(batch_size, 32)
-            if r <= 24.0:
-                return max(batch_size, 16)
-            return batch_size
+            return max(batch_size, 16)
 
         self.engines = [
             ChebRaytracer(N, r, sig, bins, batch_size=bucket_batch(r),

@@ -152,8 +152,10 @@ class ChebRaytracer:
         if accumulate == "auto":
             # pays off when the box is small vs the window (per-source
             # placement cost ~ Dc*W^2 words streamed vs the fixed ~40 us
-            # DUS pair); at Dc >~ 48 the streaming term wins out
-            accumulate = "window" if (g.Dc <= 40 and W - g.Dc >= 8) \
+            # DUS pair). Measured on v5e at 250^3: R=8/Dc=24 1.27x,
+            # R=12/Dc=32 1.14x, R=16/Dc=40 0.88x (fill-dependent) —
+            # window wins through Dc = 32.
+            accumulate = "window" if (g.Dc <= 32 and W - g.Dc >= 8) \
                 else "scan"
         self.accumulate = accumulate
         self.window_W = W
@@ -161,10 +163,18 @@ class ChebRaytracer:
         # the central (2 ceil(R)+1)^3 cube, which is strictly smaller
         # than the sublane-aligned sweep box Dc (17^3 of 24^3 at R=8 —
         # 2.8x fewer exp evaluations in the compute-bound rate pass).
+        # Only worth it when the saving is real: marginal shrinks (e.g.
+        # 61^3 of 64^3 at R=30) trade ~no exp work for odd-sized
+        # slices/updates, measured CATASTROPHIC at the bench config
+        # (1.8 -> 45 ns/cell).
         rs = int(np.ceil(min(float(R_max_LLS), float(N))))
-        self._rb0 = max(0, g.c - rs)
-        self._rb1 = min(g.Dc, g.c + rs + 1)
-        self.Ds = self._rb1 - self._rb0
+        b0 = max(0, g.c - rs)
+        b1 = min(g.Dc, g.c + rs + 1)
+        if (b1 - b0) ** 3 > 0.7 * g.Dc ** 3:
+            b0, b1 = 0, g.Dc
+        self._rb0 = b0
+        self._rb1 = b1
+        self.Ds = b1 - b0
         from .pallas_sweep import pack_geometry
         np_dt = np.float32 if dt == jnp.float32 else np.float64
         geom_np = pack_geometry(g, np_dt)
