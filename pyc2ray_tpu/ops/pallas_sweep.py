@@ -1,12 +1,12 @@
-"""Monolithic Pallas TPU kernel for the Chebyshev-face sweep.
+"""Monolithic Pallas TPU kernels for the Chebyshev-face sweep.
 
 The XLA formulation of the sweep (raytrace_cheb._sweep) is bandwidth-bound
 on plane traffic: every one of the ~3*r_max face substeps streams ~25
-plane-sized buffers through HBM. This kernel keeps the shell state in VMEM
-scratch that persists across a sequential grid over shells; the Pallas
-pipeline (BlockSpec index maps) streams in exactly one geometry slice and
-two nhi planes per face per shell, double-buffered, and streams out one
-output plane per face per shell — the irreducible traffic.
+plane-sized buffers through HBM. These kernels keep the shell state in
+VMEM scratch that persists across a sequential grid over shells; the
+Pallas pipeline (BlockSpec index maps) streams in exactly one geometry
+slice and two nhi planes per face per shell, double-buffered — the
+irreducible traffic.
 
 Lane packing: a face PAIR (the - and + faces of one axis) is stored as a
 single (B, Dc, 2*Dc) plane with the sign packed into the LANE dimension
@@ -18,14 +18,24 @@ b-shifts become full-lane rolls whose wrap/seam lanes are never selected
 the sign dimension of the cross-face stitches becomes a static half-lane
 select plus a roll by Dc (which swaps the halves).
 
-Formulation identical to raytrace_cheb._sweep (same dependency DAG as the
-reference ASORA/Fortran traversals):
+Two kernels share the shell-update logic (_shell_update; formulation
+identical to raytrace_cheb._sweep — same dependency DAG as the reference
+ASORA/Fortran traversals):
 
-* three face stacks (x/y/z), shell-leading: out[f][r] = (B, Dc, 2*Dc)
-* stencil = previous parallel plane with +-1 shifts toward the source
-* cross-face stitching via line patches, implemented with masked
-  selects/reductions (no dynamic lane indexing, no in-kernel DMAs — both
-  crash the Mosaic compiler on this stack)
+* cheb_sweep_pallas — emits the three face STACKS (R1, B, Dc, 2*Dc) of
+  coldensh_out (or, with fused bins, flux-less Gamma) for the XLA fold.
+* cheb_sweep_rates_pallas — additionally ASSEMBLES the cartesian box in
+  VMEM during the shell loop (x faces: dynamic dim-1 stores; y faces:
+  dynamic SUBLANE stores; z faces: a k-leading scratch transposed per
+  plane with an identity matmul on the MXU) and then evaluates the
+  spectral-bin rate pass per canonical box plane in a second grid phase,
+  emitting the phi (and heat) box directly. This removes the XLA fold
+  (flip/transpose/concat materializations), the stack relayout copies,
+  and the strided rate-pass reads in one kernel.
+
+Cross-face stitching uses masked selects/reductions (no dynamic LANE
+indexing, no in-kernel DMAs — both crash the Mosaic compiler on this
+stack; dynamic SUBLANE indexing was probed and works).
 
 Geometry is packed host-side as geom[3, R1, 8, Dc, 2*Dc] float:
 channels = (s1..s4, path, diag, mask, dist2); the per-sign masks live in
@@ -40,7 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cheb_sweep_pallas", "pack_geometry"]
+__all__ = ["cheb_sweep_pallas", "cheb_sweep_rates_pallas",
+           "pack_geometry", "pack_rates_tables"]
 
 
 def pack_geometry(g, dtype=np.float32):
@@ -68,23 +79,37 @@ def pack_geometry(g, dtype=np.float32):
     return out
 
 
-def _kernel(dr_ref, init_ref,
-            gx_ref, gy_ref, gz_ref,
-            nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
-            xs_ref, ys_ref, zs_ref,
-            Xp, Yp, Zp,
-            *, B, Dc, c, sig, bins, R2):
-    f32 = Xp.dtype
-    r = pl.program_id(0)
-    dr = dr_ref[0, 0]
-    D2 = 2 * Dc
+def pack_rates_tables(g, R2, dtype=np.float32):
+    """Per-box-plane tables for the fused rate phase:
+    (Dc, 2, Dc, Dc) with channels (dist2, valid). valid excludes the
+    source cell (its rate has a dedicated closed form applied by the
+    caller) and applies the octahedron/clip mask and the Euclidean
+    R_max_LLS cutoff (raytracing.f90:474, rates masked identically to
+    raytrace_cheb._rates)."""
+    Dc, c = g.Dc, g.c
+    out = np.zeros((Dc, 2, Dc, Dc), dtype=dtype)
+    valid = np.asarray(g.rate_valid) & (np.asarray(g.dist2) <= R2)
+    valid[c, c, c] = False
+    out[:, 0] = g.dist2
+    out[:, 1] = valid
+    return out
 
+
+def _plane_ops(Dc, c):
+    """Shared lane/sublane helpers over (B, Dc, 2*Dc) planes."""
+    D2 = 2 * Dc
     lane = jax.lax.broadcasted_iota(jnp.int32, (Dc, D2), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (Dc, D2), 0)
     b_idx = jnp.where(lane < Dc, lane, lane - Dc)
-    lo_half = (lane < Dc)[None]
     a_up = (subl >= c)[None]
     b_up = (b_idx >= c)[None]
+
+    class Ops:
+        pass
+
+    ops = Ops()
+    ops.lane = lane
+    ops.subl = subl
 
     def sa(P):
         # pltpu.roll requires non-negative shifts; Dc-1 == roll by -1.
@@ -117,6 +142,126 @@ def _kernel(dr_ref, init_ref,
         m = (lane[None] == lpos) & ok
         return jnp.where(m, col[:, :, None], P)
 
+    ops.sa, ops.sb, ops.swap = sa, sb, swap
+    ops.row_of, ops.col_of = row_of, col_of
+    ops.put_row, ops.put_lane = put_row, put_lane
+    return ops
+
+
+def _face_update(ops, geom_ref, nlo_ref, nhi_ref, P, dr, sig, lim):
+    """Interpolate the stencil plane P and advance one face pair.
+
+    Returns (gb, cdin, dcol, mask, new, nhi) where new = masked
+    coldensh_out (the value entering the shell state), cdin/dcol are
+    unmasked."""
+    gb = geom_ref[0]
+    nhi = jnp.concatenate([nlo_ref[0], nhi_ref[0]], axis=-1)
+    Pa = ops.sa(P)
+    Pb = ops.sb(P)
+    Pab = ops.sb(Pa)
+    w1 = gb[0][None] / jnp.maximum(lim, Pab * sig)
+    w2 = gb[1][None] / jnp.maximum(lim, Pb * sig)
+    w3 = gb[2][None] / jnp.maximum(lim, Pa * sig)
+    w4 = gb[3][None] / jnp.maximum(lim, P * sig)
+    cdin = gb[5][None] \
+        * (Pab * w1 + Pb * w2 + Pa * w3 + P * w4) \
+        / (w1 + w2 + w3 + w4)
+    dcol = nhi * (gb[4][None] * dr)
+    mask = gb[6][None] > 0.5
+    new = jnp.where(mask, cdin + dcol, 0.0)
+    return gb, cdin, dcol, mask, new, nhi
+
+
+def _shell_update(r, c, Dc, ops, dr, sig, lim,
+                  gx_ref, gy_ref, gz_ref,
+                  nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
+                  Xp_v, Yp_v, Zp_v):
+    """One shell of the Chebyshev-face traversal (three face sub-steps
+    with cross-face line stitching). Takes the r-1 shell planes as
+    VALUES, returns per-face (gb, cdin, dcol, mask, new)."""
+    alo = c - r + 1
+    ahi = c + r - 1
+    ok_lo = (c - r) >= 0
+    ok_hi = (c + r) <= Dc - 1
+    lane0 = ops.lane[0]
+    put_row, put_lane = ops.put_row, ops.put_lane
+    row_of, col_of, swap = ops.row_of, ops.col_of, ops.swap
+
+    # ---- x faces (plane (j, sign x k)); stencil from X/Y/Z[r-1]
+    P = Xp_v
+    yl = row_of(Yp_v, alo)     # [Y-(alo,k) | Y+(alo,k)]
+    yh = row_of(Yp_v, ahi)
+    P = put_row(P, alo, jnp.where(lane0 < Dc, yl, swap(yh)), True)
+    P = put_row(P, ahi, jnp.where(lane0 < Dc, swap(yl), yh), True)
+    zl = row_of(Zp_v, alo)     # [Z-(alo,j) | Z+(alo,j)]
+    zh = row_of(Zp_v, ahi)
+    P = put_lane(P, alo, zl[:, :Dc], True)        # X- k=alo <- Z-(alo)
+    P = put_lane(P, Dc + alo, zh[:, :Dc], True)   # X+ k=alo <- Z-(ahi)
+    P = put_lane(P, ahi, zl[:, Dc:], True)        # X- k=ahi <- Z+(alo)
+    P = put_lane(P, Dc + ahi, zh[:, Dc:], True)   # X+ k=ahi <- Z+(ahi)
+    fx = _face_update(ops, gx_ref, nx_lo, nx_hi, P, dr, sig, lim)
+    Xn = fx[4]
+
+    # ---- y faces (plane (i, sign x k)); stencil Y[r-1]+Z[r-1]+X[r]
+    P = Yp_v
+    zc_m_alo = col_of(Zp_v, alo)        # Z-(j=alo) over i
+    zc_m_ahi = col_of(Zp_v, ahi)
+    zc_p_alo = col_of(Zp_v, Dc + alo)
+    zc_p_ahi = col_of(Zp_v, Dc + ahi)
+    P = put_lane(P, alo, zc_m_alo, True)          # Y- k=alo <- Z-(j=alo)
+    P = put_lane(P, Dc + alo, zc_m_ahi, True)     # Y+ k=alo <- Z-(j=ahi)
+    P = put_lane(P, ahi, zc_p_alo, True)          # Y- k=ahi <- Z+(j=alo)
+    P = put_lane(P, Dc + ahi, zc_p_ahi, True)     # Y+ k=ahi <- Z+(j=ahi)
+    xl = row_of(Xn, alo)          # [X-(alo,k) | X+(alo,k)]
+    xh2 = row_of(Xn, ahi)
+    P = put_row(P, c - r, jnp.where(lane0 < Dc, xl, swap(xh2)), ok_lo)
+    P = put_row(P, c + r, jnp.where(lane0 < Dc, swap(xl), xh2), ok_hi)
+    fy = _face_update(ops, gy_ref, ny_lo, ny_hi, P, dr, sig, lim)
+    Yn = fy[4]
+
+    # ---- z faces (plane (i, sign x j)); stencil Z[r-1]+X[r]+Y[r]
+    P = Zp_v
+    xc_m_alo = col_of(Xn, alo)             # X-(k=alo) over j
+    xc_m_ahi = col_of(Xn, ahi)
+    xc_p_alo = col_of(Xn, Dc + alo)
+    xc_p_ahi = col_of(Xn, Dc + ahi)
+    row_ilo = jnp.concatenate([xc_m_alo, xc_m_ahi], axis=-1)
+    row_ihi = jnp.concatenate([xc_p_alo, xc_p_ahi], axis=-1)
+    P = put_row(P, c - r, row_ilo, ok_lo)
+    P = put_row(P, c + r, row_ihi, ok_hi)
+    yc_m_alo = col_of(Yn, alo)             # Y-(k=alo) over i
+    yc_m_ahi = col_of(Yn, ahi)
+    yc_p_alo = col_of(Yn, Dc + alo)
+    yc_p_ahi = col_of(Yn, Dc + ahi)
+    P = put_lane(P, c - r, yc_m_alo, ok_lo)       # Z- j=c-r <- Y-(k=alo)
+    P = put_lane(P, Dc + c - r, yc_m_ahi, ok_lo)  # Z+ j=c-r <- Y-(k=ahi)
+    P = put_lane(P, c + r, yc_p_alo, ok_hi)       # Z- j=c+r <- Y+(k=alo)
+    P = put_lane(P, Dc + c + r, yc_p_ahi, ok_hi)  # Z+ j=c+r <- Y+(k=ahi)
+    fz = _face_update(ops, gz_ref, nz_lo, nz_hi, P, dr, sig, lim)
+
+    return fx, fy, fz
+
+
+def _nexpm1(x):
+    # -(expm1(-x)) for x >= 0; Mosaic has no expm1 primitive.
+    # Taylor for x < 0.1 (rel err < 2e-8), else 1 - exp(-x)
+    # (cancellation-free there since exp(-x) <= 0.905).
+    small = x * (1.0 - x * (0.5 - x * (
+        (1.0 / 6.0) - x * ((1.0 / 24.0) - x / 120.0))))
+    return jnp.where(x < 0.1, small, 1.0 - jnp.exp(-x))
+
+
+def _kernel(dr_ref, init_ref,
+            gx_ref, gy_ref, gz_ref,
+            nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
+            xs_ref, ys_ref, zs_ref,
+            Xp, Yp, Zp,
+            *, B, Dc, c, sig, bins, R2):
+    f32 = Xp.dtype
+    r = pl.program_id(0)
+    dr = dr_ref[0, 0]
+    ops = _plane_ops(Dc, c)
+
     @pl.when(r == 0)
     def _():
         init = init_ref[...]
@@ -129,50 +274,25 @@ def _kernel(dr_ref, init_ref,
 
     @pl.when(r > 0)
     def _():
-        alo = c - r + 1
-        ahi = c + r - 1
-        ok_lo = (c - r) >= 0
-        ok_hi = (c + r) <= Dc - 1
         lim = jnp.asarray(0.6, f32)
-
-        def face(geom_ref, nlo_ref, nhi_ref, out_ref, P):
-            gb = geom_ref[0]
-            nhi = jnp.concatenate([nlo_ref[0], nhi_ref[0]], axis=-1)
-            Pa = sa(P)
-            Pb = sb(P)
-            Pab = sb(Pa)
-            w1 = gb[0][None] / jnp.maximum(lim, Pab * sig)
-            w2 = gb[1][None] / jnp.maximum(lim, Pb * sig)
-            w3 = gb[2][None] / jnp.maximum(lim, Pa * sig)
-            w4 = gb[3][None] / jnp.maximum(lim, P * sig)
-            cdin = gb[5][None] \
-                * (Pab * w1 + Pb * w2 + Pa * w3 + P * w4) \
-                / (w1 + w2 + w3 + w4)
-            dcol = nhi * (gb[4][None] * dr)
-            cdout = cdin + dcol
-            mask = gb[6][None] > 0.5
-            new = jnp.where(mask, cdout, 0.0)
+        faces = _shell_update(r, c, Dc, ops, dr, sig, lim,
+                              gx_ref, gy_ref, gz_ref,
+                              nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
+                              Xp[...], Yp[...], Zp[...])
+        for (gb, cdin, dcol, mask, new, nhi), out_ref in zip(
+                faces, (xs_ref, ys_ref, zs_ref)):
             if bins is None:
                 out_ref[...] = new[None]
-                return new
+                continue
             # fused spectral-bin rate pass: Gamma (without the per-source
             # flux factor, applied outside) = S*/(dr^3 4 pi d^2 path nHI)
             # * sum_e w_e exp(-tau_in s_e) (-expm1(-dtau s_e))
             tau_in = cdin * sig
             dtau = dcol * sig
-
-            def nexpm1(x):
-                # -(expm1(-x)) for x >= 0; Mosaic has no expm1 primitive.
-                # Taylor for x < 0.1 (rel err < 2e-8), else 1 - exp(-x)
-                # (cancellation-free there since exp(-x) <= 0.905).
-                small = x * (1.0 - x * (0.5 - x * (
-                    (1.0 / 6.0) - x * ((1.0 / 24.0) - x / 120.0))))
-                return jnp.where(x < 0.1, small, 1.0 - jnp.exp(-x))
-
             acc = jnp.zeros_like(cdin)
             for s_e, w_e in bins:
                 acc = acc + w_e * (jnp.exp(-tau_in * s_e)
-                                   * nexpm1(dtau * s_e))
+                                   * _nexpm1(dtau * s_e))
             s_over_dr3 = jnp.exp(
                 jnp.asarray(110.52408446371419, f32) - 3.0 * jnp.log(dr))
             d2 = gb[7][None]
@@ -181,70 +301,9 @@ def _kernel(dr_ref, init_ref,
             rmask = mask & (d2 <= R2) & (cdin <= 2.0e30)
             phi = jnp.where(rmask, pref * acc / nhi, 0.0)
             out_ref[...] = phi[None]
-            return new
-
-        # ---- x faces (plane (j, sign x k)); stencil from X/Y/Z[r-1]
-        P = Xp[...]
-        # rows j=+-(r-1): X- <- Y-(i=alo/ahi) over k; X+ <- Y+(same)
-        yl = row_of(Yp[...], alo)     # [Y-(alo,k) | Y+(alo,k)]
-        yh = row_of(Yp[...], ahi)
-        # X- row j=alo <- Y-(i=alo); X+ row j=alo <- Y-(i=ahi)
-        P = put_row(P, alo, jnp.where(lane[0] < Dc, yl, swap(yh)), True)
-        # X- row j=ahi <- Y+(i=alo); X+ row j=ahi <- Y+(i=ahi)
-        P = put_row(P, ahi, jnp.where(lane[0] < Dc, swap(yl), yh), True)
-        # cols k=+-(r-1) from Z rows (i=alo/ahi) over j (j -> sublanes)
-        zl = row_of(Zp[...], alo)     # [Z-(alo,j) | Z+(alo,j)]
-        zh = row_of(Zp[...], ahi)
-        P = put_lane(P, alo, zl[:, :Dc], True)        # X- k=alo <- Z-(alo)
-        P = put_lane(P, Dc + alo, zh[:, :Dc], True)   # X+ k=alo <- Z-(ahi)
-        P = put_lane(P, ahi, zl[:, Dc:], True)        # X- k=ahi <- Z+(alo)
-        P = put_lane(P, Dc + ahi, zh[:, Dc:], True)   # X+ k=ahi <- Z+(ahi)
-        Xn = face(gx_ref, nx_lo, nx_hi, xs_ref, P)
-
-        # ---- y faces (plane (i, sign x k)); stencil Y[r-1]+Z[r-1]+X[r]
-        P = Yp[...]
-        # cols k=+-(r-1) from Z cols (j=alo/ahi) over i (i -> sublanes)
-        zc_m_alo = col_of(Zp[...], alo)        # Z-(j=alo) over i
-        zc_m_ahi = col_of(Zp[...], ahi)        # Z-(j=ahi)
-        zc_p_alo = col_of(Zp[...], Dc + alo)   # Z+(j=alo)
-        zc_p_ahi = col_of(Zp[...], Dc + ahi)   # Z+(j=ahi)
-        P = put_lane(P, alo, zc_m_alo, True)          # Y- k=alo <- Z-(j=alo)
-        P = put_lane(P, Dc + alo, zc_m_ahi, True)     # Y+ k=alo <- Z-(j=ahi)
-        P = put_lane(P, ahi, zc_p_alo, True)          # Y- k=ahi <- Z+(j=alo)
-        P = put_lane(P, Dc + ahi, zc_p_ahi, True)     # Y+ k=ahi <- Z+(j=ahi)
-        # rows i=+-r from X rows (j=alo/ahi) over k
-        xl = row_of(Xn, alo)          # [X-(alo,k) | X+(alo,k)]
-        xh2 = row_of(Xn, ahi)
-        P = put_row(P, c - r, jnp.where(lane[0] < Dc, xl, swap(xh2)), ok_lo)
-        P = put_row(P, c + r, jnp.where(lane[0] < Dc, swap(xl), xh2), ok_hi)
-        Yn = face(gy_ref, ny_lo, ny_hi, ys_ref, P)
-
-        # ---- z faces (plane (i, sign x j)); stencil Z[r-1]+X[r]+Y[r]
-        P = Zp[...]
-        # rows i=+-r from X cols (k=alo/ahi) over j (j stays on lanes)
-        xc_m_alo = col_of(Xn, alo)             # X-(k=alo) over j
-        xc_m_ahi = col_of(Xn, ahi)             # X-(k=ahi)
-        xc_p_alo = col_of(Xn, Dc + alo)        # X+(k=alo)
-        xc_p_ahi = col_of(Xn, Dc + ahi)        # X+(k=ahi)
-        # Z- row i=c-r <- X-(k=alo) over j; Z+ row i=c-r <- X-(k=ahi)
-        row_ilo = jnp.concatenate([xc_m_alo, xc_m_ahi], axis=-1)
-        row_ihi = jnp.concatenate([xc_p_alo, xc_p_ahi], axis=-1)
-        P = put_row(P, c - r, row_ilo, ok_lo)
-        P = put_row(P, c + r, row_ihi, ok_hi)
-        # cols j=+-r from Y cols (k=alo/ahi) over i (i -> sublanes)
-        yc_m_alo = col_of(Yn, alo)             # Y-(k=alo) over i
-        yc_m_ahi = col_of(Yn, ahi)
-        yc_p_alo = col_of(Yn, Dc + alo)
-        yc_p_ahi = col_of(Yn, Dc + ahi)
-        P = put_lane(P, c - r, yc_m_alo, ok_lo)       # Z- j=c-r <- Y-(k=alo)
-        P = put_lane(P, Dc + c - r, yc_m_ahi, ok_lo)  # Z+ j=c-r <- Y-(k=ahi)
-        P = put_lane(P, c + r, yc_p_alo, ok_hi)       # Z- j=c+r <- Y+(k=alo)
-        P = put_lane(P, Dc + c + r, yc_p_ahi, ok_hi)  # Z+ j=c+r <- Y+(k=ahi)
-        Zn = face(gz_ref, nz_lo, nz_hi, zs_ref, P)
-
-        Xp[...] = Xn
-        Yp[...] = Yn
-        Zp[...] = Zn
+        Xp[...] = faces[0][4]
+        Yp[...] = faces[1][4]
+        Zp[...] = faces[2][4]
 
 
 @functools.partial(jax.jit,
@@ -306,3 +365,218 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
         interpret=interpret,
     )(dr2d, init_plane, geom[0], geom[1], geom[2],
       nhi_x, nhi_x, nhi_y, nhi_y, nhi_z, nhi_z)
+
+
+def _kernel_fold_rates(dr_ref, init_ref, flux_ref,
+                       gx_ref, gy_ref, gz_ref, rt_ref,
+                       nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
+                       *refs,
+                       B, Dc, c, R1, sig, bins, heat_bins):
+    """Sweep + in-VMEM box assembly + per-plane rates (grid R1 + Dc).
+
+    Phase A (steps 0..R1-1): the shell sweep; each face's masked
+    (cdin, dcol) planes are RMW-ADDED into box scratches. x faces land
+    in the (B, i, j, k) boxes at dynamic dim-1 i = c+-r; y faces at
+    dynamic SUBLANE j = c+-r; z faces in separate (B, i, k, j)-layout
+    boxes at dynamic sublane k = c+-r (the lane dim must stay static).
+    Face masks make the contributions disjoint, so add-assembly equals
+    the XLA fold exactly.
+
+    Phase B (steps R1..R1+Dc-1, plane i = step-R1): merge the z-oriented
+    plane via an identity matmul on the MXU ((B,k,j) -> (B,j,k)), then
+    evaluate the spectral-bin rates densely on the canonical plane and
+    write phi[:, i] (and heat[:, i]). Using dcol directly, the
+    photon-conserving 1/nHI and the geometric 1/path cancel:
+    phi = flux * S* dr / (dr^3 4 pi d2) * acc / dcol."""
+    if heat_bins is not None:
+        out_phi, out_heat = refs[0], refs[1]
+        scr = refs[2:]
+    else:
+        out_phi = refs[0]
+        out_heat = None
+        scr = refs[1:]
+    Xp, Yp, Zp, ci1, dc1, ciz, dcz = scr
+    f32 = Xp.dtype
+    step = pl.program_id(0)
+    dr = dr_ref[0, 0]
+    ops = _plane_ops(Dc, c)
+
+    @pl.when(step == 0)
+    def _():
+        init = init_ref[...]
+        Xp[...] = init
+        Yp[...] = init
+        Zp[...] = init
+        zero = jnp.zeros((B, Dc, Dc, Dc), f32)
+        ci1[...] = zero
+        dc1[...] = zero
+        ciz[...] = zero
+        dcz[...] = zero
+
+    @pl.when((step > 0) & (step < R1))
+    def _():
+        r = step
+        lim = jnp.asarray(0.6, f32)
+        fx, fy, fz = _shell_update(r, c, Dc, ops, dr, sig, lim,
+                                   gx_ref, gy_ref, gz_ref,
+                                   nx_lo, nx_hi, ny_lo, ny_hi,
+                                   nz_lo, nz_hi,
+                                   Xp[...], Yp[...], Zp[...])
+
+        def halves(v):
+            return v[..., :Dc], v[..., Dc:]
+
+        def assemble(face, box_ci, box_dc, axis):
+            _, cdin, dcol, mask, _, _ = face
+            ci_m = jnp.where(mask, cdin, 0.0)
+            dc_m = jnp.where(mask, dcol, 0.0)
+            ci_lo, ci_hi = halves(ci_m)
+            dc_lo, dc_hi = halves(dc_m)
+            for idx, civ, dcv in ((c - r, ci_lo, dc_lo),
+                                  (c + r, ci_hi, dc_hi)):
+                ok = (idx >= 0) & (idx <= Dc - 1)
+                # negative/overflow shells only occur when the box is
+                # clipped by the mesh; their mask channels are all-false
+                # so the clamped write adds zeros.
+                j = jnp.clip(idx, 0, Dc - 1)
+                if axis == 1:
+                    sl = (slice(None), pl.ds(j, 1), slice(None),
+                          slice(None))
+                    civ = civ[:, None, :, :]
+                    dcv = dcv[:, None, :, :]
+                else:
+                    sl = (slice(None), slice(None), pl.ds(j, 1),
+                          slice(None))
+                    civ = civ[:, :, None, :]
+                    dcv = dcv[:, :, None, :]
+                keep = jnp.where(ok, 1.0, 0.0).astype(f32)
+                box_ci[sl] = box_ci[sl] + civ * keep
+                box_dc[sl] = box_dc[sl] + dcv * keep
+
+        assemble(fx, ci1, dc1, axis=1)   # x: (B, i=c+-r, j, k)
+        assemble(fy, ci1, dc1, axis=2)   # y: (B, i, j=c+-r, k) sublane
+        assemble(fz, ciz, dcz, axis=2)   # z in (B, i, k=c+-r, j) sublane
+        Xp[...] = fx[4]
+        Yp[...] = fy[4]
+        Zp[...] = fz[4]
+
+    @pl.when(step >= R1)
+    def _():
+        i = step - R1
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (Dc, Dc), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (Dc, Dc), 1)) \
+            .astype(f32)
+
+        def plane(box1, boxz):
+            p1 = box1[:, pl.ds(i, 1), :, :][:, 0]        # (B, j, k)
+            pz = boxz[:, pl.ds(i, 1), :, :][:, 0]        # (B, k, j)
+            # transpose (B,k,j) -> (B,j,k) on the MXU: out[b,j,k] =
+            # sum_m pz[b,m,j] eye[m,k]
+            pzt = jax.lax.dot_general(
+                pz, eye, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)              # (B, j, k)
+            return p1 + pzt
+
+        cdin = plane(ci1, ciz)
+        dcol = plane(dc1, dcz)
+        tau_in = cdin * sig
+        dtau = dcol * sig
+        acc = jnp.zeros_like(cdin)
+        acc_h = jnp.zeros_like(cdin) if heat_bins is not None else None
+        for e, (s_e, w_e) in enumerate(bins):
+            core = jnp.exp(-tau_in * s_e) * _nexpm1(dtau * s_e)
+            acc = acc + w_e * core
+            if heat_bins is not None:
+                acc_h = acc_h + heat_bins[e][1] * core
+        s_fac = jnp.exp(jnp.asarray(110.52408446371419, f32)
+                        - 3.0 * jnp.log(dr)) * dr
+        d2 = rt_ref[0, 0]
+        valid = rt_ref[0, 1] > 0.5
+        fl = flux_ref[...][:, 0]
+        pref = fl[:, None, None] * s_fac \
+            / (d2[None] * 12.566370614359172)
+        rmask = valid[None] & (cdin <= 2.0e30)
+        phi = jnp.where(rmask, pref * acc / dcol, 0.0)
+        out_phi[...] = phi[:, None, :, :]
+        if heat_bins is not None:
+            heat = jnp.where(rmask, pref * acc_h / dcol, 0.0)
+            out_heat[...] = heat[:, None, :, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "Dc", "R1", "c", "sig", "bins",
+                                    "heat_bins", "interpret"))
+def cheb_sweep_rates_pallas(geom, rates_tab, nhi_x, nhi_y, nhi_z, dr,
+                            init_plane, flux,
+                            B, Dc, R1, c, sig, bins, heat_bins=None,
+                            interpret=False):
+    """Fused sweep + fold + rates kernel.
+
+    Same sweep inputs as cheb_sweep_pallas plus rates_tab (the
+    pack_rates_tables output) and flux (B,). bins is a static tuple of
+    (s_e, w_e); heat_bins, when given, a static tuple of (s_e, w_heat_e)
+    with the SAME s_e order. Returns the flux-included phi box
+    (B, Dc, Dc, Dc) in canonical layout (and the heat box when
+    heat_bins is given); the SOURCE CELL is zero — the caller applies
+    its closed form (raytracing.cu:285-294)."""
+    dt = nhi_x.dtype
+    kern = functools.partial(_kernel_fold_rates, B=B, Dc=Dc, c=c, R1=R1,
+                             sig=float(sig), bins=bins,
+                             heat_bins=heat_bins)
+    dr2d = jnp.asarray(dr, dt).reshape(1, 1)
+
+    def shell(s):
+        return jnp.minimum(s, R1 - 1)
+
+    nspec_lo = pl.BlockSpec(
+        (1, B, Dc, Dc),
+        lambda s: (jnp.maximum(c - shell(s), 0), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    nspec_hi = pl.BlockSpec(
+        (1, B, Dc, Dc),
+        lambda s: (jnp.minimum(c + shell(s), Dc - 1), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    g4 = pl.BlockSpec((1, 8, Dc, 2 * Dc), lambda s: (shell(s), 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    rt_spec = pl.BlockSpec(
+        (1, 2, Dc, Dc),
+        lambda s: (jnp.clip(s - R1, 0, Dc - 1), 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (B, 1, Dc, Dc),
+        lambda s: (0, jnp.clip(s - R1, 0, Dc - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    n_out = 2 if heat_bins is not None else 1
+    out_shape = [jax.ShapeDtypeStruct((B, Dc, Dc, Dc), dt)] * n_out
+
+    return pl.pallas_call(
+        kern,
+        grid=(R1 + Dc,),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # dr
+            pl.BlockSpec((B, Dc, 2 * Dc), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),            # init plane
+            pl.BlockSpec((B, 1), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),            # flux
+            g4, g4, g4,                                       # geometry
+            rt_spec,                                          # rates tab
+            nspec_lo, nspec_hi,                               # nhi_x
+            nspec_lo, nspec_hi,                               # nhi_y
+            nspec_lo, nspec_hi,                               # nhi_z
+        ],
+        out_specs=[out_spec] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((B, Dc, 2 * Dc), dt),   # Xp
+            pltpu.VMEM((B, Dc, 2 * Dc), dt),   # Yp
+            pltpu.VMEM((B, Dc, 2 * Dc), dt),   # Zp
+            pltpu.VMEM((B, Dc, Dc, Dc), dt),   # cdin box (x+y faces)
+            pltpu.VMEM((B, Dc, Dc, Dc), dt),   # dcol box (x+y faces)
+            pltpu.VMEM((B, Dc, Dc, Dc), dt),   # cdin box (z, (B,i,k,j))
+            pltpu.VMEM((B, Dc, Dc, Dc), dt),   # dcol box (z, (B,i,k,j))
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(dr2d, init_plane, flux.reshape(B, 1), geom[0], geom[1], geom[2],
+      rates_tab, nhi_x, nhi_x, nhi_y, nhi_y, nhi_z, nhi_z)

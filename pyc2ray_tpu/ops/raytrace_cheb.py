@@ -78,6 +78,8 @@ class ChebTables(NamedTuple):
     path3_s: object     # (Ds, Ds, Ds) rates-subbox slices, pre-cut:
     dist2_s: object     # slicing the full tables inside the batch loop
     rate_valid_s: object  # shows up as un-hoisted per-batch copies
+    rt_tab: object      # (Dc, 2, Dc, Dc) per-plane (dist2, valid) for
+                        # the fused fold+rates kernel
     bins_s: object
     bins_w: object
     bins_wh: object
@@ -92,7 +94,7 @@ class ChebRaytracer:
     def __init__(self, N, R_max_LLS, sig, bins: SpectralBins,
                  batch_size=8, dtype=jnp.float32, do_heating=False,
                  use_pallas=False, fuse_rates=False, accumulate="auto",
-                 window_size=None):
+                 window_size=None, fuse_fold=False):
         self.N = int(N)
         self.R_max_LLS = float(R_max_LLS)
         self.sig = float(sig)
@@ -104,10 +106,19 @@ class ChebRaytracer:
             raise ValueError(
                 f"Raytracing.accumulate must be one of 'auto', 'scan', "
                 f"'window' (got {accumulate!r})")
-        # Fusing the rate pass into the kernel is supported but measured
-        # SLOWER at 64 bins (the unrolled in-kernel exp chains cost more
-        # than the separate dense XLA rates pass); default off.
+        # Fusing the rate pass into the kernel PER SHELL is supported but
+        # measured SLOWER (the stacks hold ~3x the box's cells, so fused
+        # rates do 3x the exp work); default off.
         self.fuse_rates = bool(fuse_rates)
+        # fuse_fold: the sweep kernel assembles the cd box in VMEM and
+        # rates run per canonical box plane in a second grid phase —
+        # replaces the XLA fold + stack relayouts + strided rate reads.
+        # Measured SLOWER on v5e in both regimes (R=30: 2.58 vs 1.80
+        # ns/cell; R=8: 19.5 vs 12.1) and degrading with B — the
+        # dynamic-SUBLANE RMW stores of the y/z assembly traverse full
+        # tiles. Kept as a validated experimental variant (checksums
+        # match the production path on hardware); default off.
+        self.fuse_fold = bool(fuse_fold) and use_pallas
         # Mosaic kernels need real TPU hardware; fall back to the Pallas
         # interpreter elsewhere (tests on CPU)
         self._pallas_interpret = jax.default_backend() != "tpu"
@@ -125,9 +136,11 @@ class ChebRaytracer:
         g = self.geom
         dt = dtype
         self.num_bins = bins.num_bins
-        # static (s, w) pairs for the fused-rates Pallas kernel
+        # static (s, w) pairs for the fused-rates Pallas kernels
         self._bins_static = tuple(
             (float(s), float(w)) for s, w in zip(bins.s, bins.w_photo))
+        self._bins_heat_static = tuple(
+            (float(s), float(w)) for s, w in zip(bins.s, bins.w_heat))
         # --- Gamma accumulation strategy ------------------------------
         # "scan": per-source dynamic_slice + dynamic_update_slice RMW on
         # the padded accumulator. On this stack each sequential DUS costs
@@ -175,9 +188,10 @@ class ChebRaytracer:
         self._rb0 = b0
         self._rb1 = b1
         self.Ds = b1 - b0
-        from .pallas_sweep import pack_geometry
+        from .pallas_sweep import pack_geometry, pack_rates_tables
         np_dt = np.float32 if dt == jnp.float32 else np.float64
         geom_np = pack_geometry(g, np_dt)
+        rt_np = pack_rates_tables(g, float(R_max_LLS) ** 2, np_dt)
         sub3 = (slice(self._rb0, self._rb1),) * 3
         self.tables = ChebTables(
             geom_x=jnp.asarray(geom_np[0]),
@@ -194,6 +208,7 @@ class ChebRaytracer:
             path3_s=jnp.asarray(g.path3[sub3], dt),
             dist2_s=jnp.asarray(g.dist2[sub3], dt),
             rate_valid_s=jnp.asarray(g.rate_valid[sub3]),
+            rt_tab=jnp.asarray(rt_np),
             bins_s=jnp.asarray(bins.s, dt),
             bins_w=jnp.asarray(bins.w_photo, dt),
             bins_wh=jnp.asarray(bins.w_heat, dt))
@@ -382,19 +397,58 @@ class ChebRaytracer:
         center_val = jnp.zeros_like(src_cd) if fuse_rates else src_cd
         return self._fold_stacks_packed(X, Y, Z, center_val)
 
-    def _source_cell_rate(self, nhi_box, flux, dr):
+    def _source_cell_rate(self, nhi_box, flux, dr, bins_static=None):
         """Gamma of the source cell itself (tau_in = 0, vol = dr^3;
-        raytracing.cu:285-294)."""
+        raytracing.cu:285-294). bins_static defaults to the photo
+        weights; pass _bins_heat_static for the heating channel."""
         g = self.geom
         dt = self.dtype
+        if bins_static is None:
+            bins_static = self._bins_static
         nhi_src = nhi_box[:, g.c, g.c, g.c]
         dtau = nhi_src * (0.5 * dr) * jnp.asarray(self.sig, dt)
         acc = jnp.zeros_like(dtau)
-        for s_e, w_e in self._bins_static:
+        for s_e, w_e in bins_static:
             acc = acc + w_e * -jnp.expm1(-dtau * s_e)
         s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
                              - 3.0 * jnp.log(dr))
         return flux * s_over_dr3 * acc / nhi_src
+
+    def _sweep_fold_rates(self, tb, nhi_box, flux, dr):
+        """Fused sweep + in-VMEM fold + rates (pallas_sweep.
+        cheb_sweep_rates_pallas): returns (phi_box, heat_box) full-box
+        with the source cell filled by its closed form."""
+        from .pallas_sweep import cheb_sweep_rates_pallas
+        g = self.geom
+        B = nhi_box.shape[0]
+        nx = jnp.transpose(nhi_box, (1, 0, 2, 3))
+        ny = jnp.transpose(nhi_box, (2, 0, 1, 3))
+        nz = jnp.transpose(nhi_box, (3, 0, 1, 2))
+        src_cd = nhi_box[:, g.c, g.c, g.c] * (0.5 * dr)
+        ar = lax.broadcasted_iota(jnp.int32, (g.Dc, 2 * g.Dc), 0)
+        br = lax.broadcasted_iota(jnp.int32, (g.Dc, 2 * g.Dc), 1)
+        center = ((ar == g.c) & ((br == g.c) | (br == g.Dc + g.c)))[None]
+        init_plane = jnp.broadcast_to(
+            jnp.where(center, src_cd[:, None, None], 0.0),
+            (B, g.Dc, 2 * g.Dc)).astype(self.dtype)
+        out = cheb_sweep_rates_pallas(
+            (tb.geom_x, tb.geom_y, tb.geom_z), tb.rt_tab,
+            nx, ny, nz, dr, init_plane, flux.astype(self.dtype),
+            B=B, Dc=g.Dc, R1=g.r_max + 1, c=g.c, sig=self.sig,
+            bins=self._bins_static,
+            heat_bins=(self._bins_heat_static if self.do_heating
+                       else None),
+            interpret=self._pallas_interpret)
+        phi_box = out[0]
+        src_phi = self._source_cell_rate(nhi_box, flux, dr)
+        phi_box = phi_box.at[:, g.c, g.c, g.c].set(src_phi)
+        if self.do_heating:
+            heat_box = out[1]
+            src_heat = self._source_cell_rate(nhi_box, flux, dr,
+                                              self._bins_heat_static)
+            heat_box = heat_box.at[:, g.c, g.c, g.c].set(src_heat)
+            return phi_box, heat_box
+        return phi_box, None
 
     def _sweep(self, tb, nhi_box, dr, sig=None):
         """Cube-shell sweep; returns cd (B, Dc, Dc, Dc) coldensh_out.
@@ -782,7 +836,10 @@ class ChebRaytracer:
                     lax.dynamic_slice(nhi_pad, o3, (W,) * 3), oh)
             else:
                 boxes = self._extract_boxes(nhi_pad, pos)
-            if self.use_pallas and self.fuse_rates and not self.do_heating:
+            if self.use_pallas and self.fuse_fold:
+                phi_box, heat_box = self._sweep_fold_rates(
+                    tb, boxes, flux, dr)
+            elif self.use_pallas and self.fuse_rates and not self.do_heating:
                 gamma_nf = self._sweep_pallas(tb, boxes, dr, fuse_rates=True)
                 phi_box = gamma_nf * flux[:, None, None, None]
                 src_phi = self._source_cell_rate(boxes, flux, dr)

@@ -48,8 +48,11 @@ for spec in args.modes.split(","):
     mode, B = spec.split(":")
     B = int(B)
     t0 = time.time()
+    fuse_fold = mode.startswith("fold")
+    acc = {"fold": "scan", "foldwin": "window"}.get(mode, mode)
     eng = ChebRaytracer(N, R, SIG, bins, batch_size=B, use_pallas=True,
-                        accumulate=mode, window_size=args.W)
+                        accumulate=acc, window_size=args.W,
+                        fuse_fold=fuse_fold)
     pb, fb = eng.prepare_sources(pos, flux)
     fill = float((np.asarray(fb) > 0).mean())
     # warmup/compile

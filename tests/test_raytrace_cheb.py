@@ -232,3 +232,29 @@ def test_rates_subbox_covers_sphere():
         idx = np.argwhere(rv)
         assert idx.min() >= eng._rb0
         assert idx.max() < eng._rb1
+
+
+def test_fuse_fold_kernel_matches():
+    """The fused sweep+fold+rates kernel (in-VMEM box assembly) must
+    reproduce the XLA engine. The kernel carries cdin exactly while the
+    XLA path reconstructs cdin = cd_folded - dcol, which loses f32 bits
+    when dcol >> cdin; at cells with huge dtau that turns into
+    exp(+-eps*dtau*s) — so agreement is tight only above a rate floor
+    (the divergent cells hold physically negligible rates ~1e-20 of the
+    peak)."""
+    N = 10
+    rng = np.random.RandomState(3)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.9, (N, N, N))
+    src = np.array([[0, 9, 5], [4, 4, 4]])
+    flux = np.array([1.0, 2.0])
+    rt_x = _mk(N, R=1e9, batch=2, dtype=jnp.float32)
+    rt_f = ChebRaytracer(N, 1e9, SIG, grey_bins(), batch_size=2,
+                         dtype=jnp.float32, use_pallas=True,
+                         fuse_fold=True)
+    phi_x = np.asarray(rt_x.trace(ndens, xh, src, flux, DR))
+    phi_f = np.asarray(rt_f.trace(ndens, xh, src, flux, DR))
+    assert ((phi_x != 0) == (phi_f != 0)).all()
+    big = np.abs(phi_x) > 1e-8 * np.abs(phi_x).max()
+    rel = np.abs(phi_f - phi_x)[big] / np.abs(phi_x)[big]
+    assert rel.max() < 2e-4
