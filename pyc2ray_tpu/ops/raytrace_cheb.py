@@ -228,18 +228,31 @@ class ChebRaytracer:
         return (jnp.asarray(pos.reshape(nb, B, 3)),
                 jnp.asarray(flx.reshape(nb, B), dtype=self.dtype))
 
-    def _prepare_sources_packed(self, src_pos, src_flux):
+    def window_for_ext(self, dims):
+        """Effective accumulation-window side for an extended frame of
+        the given dims (None = the window path does not pay there).
+        Both the packing and the trace derive W from the same static
+        shapes, so they always agree."""
+        if self.accumulate != "window":
+            return None
+        W = min(self.window_W, min(int(d) for d in dims))
+        return W if W - self.geom.Dc >= 8 else None
+
+    def _prepare_sources_packed(self, src_pos, src_flux, W=None,
+                                allow_fallback=True):
         """Morton-sorted greedy packing into span-bounded batches.
 
         Every batch's box-start bounding box spans at most W - Dc cells
         per axis, so all of its (Dc,Dc,Dc) boxes fit in one (W,W,W)
-        accumulation window (the trace-time lax.cond then always takes
-        the window branch). Padding sources get zero flux and sit at the
-        batch's bbox minimum (inside the window by construction)."""
+        accumulation window. Padding sources get zero flux and sit at
+        the batch's bbox minimum (inside the window by construction).
+        ``W`` defaults to the engine's single-device window; callers
+        staging for a smaller extended frame (domain decomposition) pass
+        their window_for_ext."""
         pos = np.asarray(src_pos, dtype=np.int64).reshape(-1, 3)
         flx = np.asarray(src_flux, dtype=np.float64).reshape(-1)
         B = self.batch_size
-        span = self.window_W - self.geom.Dc
+        span = (self.window_W if W is None else int(W)) - self.geom.Dc
         if len(pos) == 0:
             return (PackedPositions(jnp.zeros((1, B, 3), jnp.int32)),
                     jnp.zeros((1, B), dtype=self.dtype))
@@ -264,6 +277,21 @@ class ChebRaytracer:
         if cur:
             batches.append(cur)
         nb = len(batches)
+        # Fill guard: padded slots cost a full sweep each, so a sparse
+        # catalog (windows holding only a couple of sources) loses more
+        # to padding than the one-RMW-per-batch accumulate saves
+        # (measured: R=10, 256^3, Ns=1e3 -> fill 0.24, 36 vs 17
+        # ns/cell). Fall back to plain scan-path batches there.
+        if allow_fallback and len(pos) < 0.5 * nb * B:
+            ns = len(pos)
+            nb_plain = -(-ns // B)
+            pos_out = np.zeros((nb_plain * B, 3), dtype=np.int32)
+            flx_out = np.zeros((nb_plain * B,), dtype=np.float64)
+            pos_out[:ns] = pos
+            flx_out[:ns] = flx
+            return (jnp.asarray(pos_out.reshape(nb_plain, B, 3)),
+                    jnp.asarray(flx_out.reshape(nb_plain, B),
+                                dtype=self.dtype))
         pos_out = np.zeros((nb, B, 3), dtype=np.int32)
         flx_out = np.zeros((nb, B), dtype=np.float64)
         for i, bidx in enumerate(batches):
@@ -271,8 +299,8 @@ class ChebRaytracer:
             pos_out[i, :k] = pos[bidx]
             flx_out[i, :k] = flx[bidx]
             pos_out[i, k:] = pos[bidx].min(axis=0)
-        span = pos_out.max(axis=1) - pos_out.min(axis=1)
-        assert span.max() <= self.window_W - self.geom.Dc, \
+        got_span = pos_out.max(axis=1) - pos_out.min(axis=1)
+        assert got_span.max() <= span, \
             "internal: packed batch exceeds the window span"
         return (PackedPositions(jnp.asarray(pos_out)),
                 jnp.asarray(flx_out, dtype=self.dtype))
@@ -412,7 +440,9 @@ class ChebRaytracer:
             acc = acc + w_e * -jnp.expm1(-dtau * s_e)
         s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
                              - 3.0 * jnp.log(dr))
-        return flux * s_over_dr3 * acc / nhi_src
+        tiny = jnp.asarray(np.finfo(np.float32 if dt == jnp.float32
+                                    else np.float64).tiny, dt)
+        return flux * s_over_dr3 * acc / jnp.maximum(nhi_src, tiny)
 
     def _sweep_fold_rates(self, tb, nhi_box, flux, dr):
         """Fused sweep + in-VMEM fold + rates (pallas_sweep.
@@ -714,8 +744,19 @@ class ChebRaytracer:
         mask = (tb.rate_valid_s[None]
                 & (cdin <= jnp.asarray(MAX_COLDENSH, dt))
                 & (dist2[None] <= R2))
-        phi = jnp.where(mask, prefact * acc / nhi_box, 0.0)
-        heat = (jnp.where(mask, prefact * acc_h / nhi_box, 0.0)
+        # Guard the photon-conserving division: a zero-density cell
+        # absorbs nothing (acc = 0), so Gamma-per-atom is 0, not 0/0.
+        # The floor is the smallest normal float — a no-op for any
+        # physical density — and matters because a NaN box cell would
+        # contaminate the whole window in the matmul accumulate
+        # (NaN * one-hot 0 = NaN). Zero-density cells DO occur: the
+        # zero-padded interior halos under domain decomposition, swept
+        # by zero-flux padding sources.
+        tiny = jnp.asarray(np.finfo(np.float32 if dt == jnp.float32
+                                    else np.float64).tiny, dt)
+        nhi_safe = jnp.maximum(nhi_box, tiny)
+        phi = jnp.where(mask, prefact * acc / nhi_safe, 0.0)
+        heat = (jnp.where(mask, prefact * acc_h / nhi_safe, 0.0)
                 if self.do_heating else None)
         return phi, heat
 
@@ -810,12 +851,11 @@ class ChebRaytracer:
         phi_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype)
         heat_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype) \
             if self.do_heating else jnp.zeros((1,), dtype=self.dtype)
-        W = self.window_W
         packed = isinstance(pos_b, PackedPositions)
         if packed:
             pos_b = pos_b.pos
-        use_window = (packed and self.accumulate == "window"
-                      and all(s >= W for s in nhi_pad.shape))
+        W = self.window_for_ext(nhi_pad.shape) if packed else None
+        use_window = W is not None
 
         def batch_step(b, carry):
             phi_pad, heat_pad = carry

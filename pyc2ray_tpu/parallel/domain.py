@@ -372,10 +372,9 @@ class DomainDecomposition:
 
         n_dev = ai.p * aj.p * ak.p
 
-        def bucket(sel_mask):
-            sel_all = np.nonzero(sel_mask)[0]
-            if len(sel_all) == 0:
-                return None, None
+        window = getattr(self.engine, "accumulate", None) == "window"
+
+        def bucket_plain(sel_all):
             counts = np.bincount(owner[sel_all], minlength=n_dev)
             nb = max(1, -(-int(counts.max()) // B))
             out_pos = np.zeros((n_dev, nb * B, 3), dtype=np.int32)
@@ -386,6 +385,58 @@ class DomainDecomposition:
                 out_flx[d, :len(sel)] = flx[sel]
             return (jnp.asarray(out_pos.reshape(n_dev * nb, B, 3)),
                     jnp.asarray(out_flx.reshape(n_dev * nb, B),
+                                dtype=self.engine.dtype))
+
+        def bucket(sel_mask):
+            sel_all = np.nonzero(sel_mask)[0]
+            if len(sel_all) == 0:
+                return None, None
+            if window:
+                return bucket_window(sel_all)
+            return bucket_plain(sel_all)
+
+        def bucket_window(sel_all):
+            """Window-accumulate engines: Morton-pack each device's
+            owned sources into span-bounded batches (the engine's
+            packing, in extended-local coordinates) and pad every
+            device to the same batch count with zero-flux dummies, so
+            each shard runs the one-RMW-per-batch path."""
+            from ..ops.raytrace_cheb import PackedPositions
+            # pack for the extended LOCAL frame (hlo + Lp + hhi per
+            # axis); window_for_ext is the same function the trace
+            # applies to that frame, so packing span and trace window
+            # always agree (a mismatch would misplace boxes)
+            ext_dims = tuple(self.hlo + ax.Lp + self.hhi
+                             for ax in self.axes)
+            W_eff = self.engine.window_for_ext(ext_dims)
+            per_pos, per_flx = [], []
+            for d in range(n_dev):
+                sel = sel_all[owner[sel_all] == d]
+                if len(sel) == 0:
+                    per_pos.append(np.zeros((1, B, 3), np.int32))
+                    per_flx.append(np.zeros((1, B)))
+                    continue
+                pb, fb = self.engine._prepare_sources_packed(
+                    loc[sel], flx[sel], W=W_eff, allow_fallback=False)
+                per_pos.append(np.asarray(pb.pos))
+                per_flx.append(np.asarray(fb, dtype=np.float64))
+            nb = max(p.shape[0] for p in per_pos)
+            # global fill guard: padded slots cost full sweeps (see
+            # _prepare_sources_packed); sparse catalogs do better on
+            # the plain scan-path batches
+            if len(sel_all) < 0.5 * n_dev * nb * B:
+                return bucket_plain(sel_all)
+            for d in range(n_dev):
+                pad = nb - per_pos[d].shape[0]
+                if pad:
+                    per_pos[d] = np.concatenate(
+                        [per_pos[d],
+                         np.repeat(per_pos[d][-1:], pad, axis=0)], axis=0)
+                    per_flx[d] = np.concatenate(
+                        [per_flx[d], np.zeros((pad, B))], axis=0)
+            return (PackedPositions(jnp.asarray(
+                        np.concatenate(per_pos, axis=0))),
+                    jnp.asarray(np.concatenate(per_flx, axis=0),
                                 dtype=self.engine.dtype))
 
         pos_i, flux_i = bucket(interior)

@@ -37,12 +37,32 @@ def prepare_sources_sharded(raytracer: Raytracer, mesh, src_pos, src_flux):
     Padding sources have zero flux (contribute nothing), mirroring the
     remainder handling of the reference's per-rank split (evolve.py:361-371)
     without the imbalance of giving the remainder to the last rank.
+
+    Window-accumulate engines get their Morton-packed span-bounded
+    batches (ChebRaytracer._prepare_sources_packed) padded to a multiple
+    of the device count with zero-flux dummy batches, so every shard
+    runs the one-RMW-per-batch fast path on its slice.
     """
     # hydrogen engines carry (batch_size, dtype) on .config; the helium
     # engine exposes them directly
     cfg = getattr(raytracer, "config", raytracer)
     B = cfg.batch_size
     n_dev = mesh.devices.size
+    if getattr(raytracer, "accumulate", None) == "window":
+        from ..ops.raytrace_cheb import PackedPositions
+        pb, fb = raytracer.prepare_sources(src_pos, src_flux)
+        if isinstance(pb, PackedPositions):   # not the sparse fallback
+            pos = np.asarray(pb.pos)
+            flx = np.asarray(fb)
+            nb = pos.shape[0]
+            nbp = -(-nb // n_dev) * n_dev
+            if nbp > nb:
+                pos = np.concatenate(
+                    [pos, np.repeat(pos[-1:], nbp - nb, axis=0)], axis=0)
+                flx = np.concatenate(
+                    [flx, np.zeros((nbp - nb, B), flx.dtype)], axis=0)
+            return (PackedPositions(jnp.asarray(pos)),
+                    jnp.asarray(flx, dtype=cfg.dtype))
     ns = src_flux.shape[0]
     per_dev_batches = -(-ns // (B * n_dev))
     tot = per_dev_batches * B * n_dev

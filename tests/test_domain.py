@@ -309,3 +309,32 @@ def test_domain_step_collective_traffic_matches_model():
     # ...and no hidden grid-sized collectives
     assert not re.search(r"all-gather[^\n]*\[16,16,16\]", txt)
     assert not re.search(r"all-reduce[^\n]*f64\[16,16,16\]", txt)
+
+
+def test_domain_trace_window_engine_matches_single():
+    """Window-accumulate staging under the 3D domain mesh: per-owner
+    Morton-packed batches sized for the extended LOCAL frame
+    (window_for_ext) must reproduce the single-device trace."""
+    from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer
+    from pyc2ray_tpu.ops.raytrace_box import grey_bins
+
+    from pyc2ray_tpu.ops.raytrace_cheb import PackedPositions
+
+    N, R = 32, 3.0
+    rng = np.random.RandomState(11)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0, 0.5, (N, N, N))
+    ns = 300   # dense enough that the packing fill guard keeps windows
+    src = rng.randint(0, N, size=(ns, 3))
+    flux = rng.uniform(0.5, 5.0, ns)
+    eng = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=4,
+                        dtype=jnp.float64, accumulate="window")
+    assert eng.accumulate == "window"
+    dd = DomainDecomposition(eng, make_domain_mesh(2, 2, 2))
+    ext = tuple(dd.hlo + ax.Lp + dd.hhi for ax in dd.axes)
+    assert eng.window_for_ext(ext) is not None  # window path engaged
+    srcs = dd.prepare_sources(src, flux)
+    assert any(isinstance(s, PackedPositions) for s in srcs)
+    phi_s = np.asarray(eng.trace(ndens, xh, src, flux, DR))
+    phi_d = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_d, phi_s, rtol=1e-12)

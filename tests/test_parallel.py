@@ -101,3 +101,31 @@ def test_evolve_sharded_matches_single(tmp_path):
                                    quiet=True)
     np.testing.assert_allclose(xh_p, xh_s, rtol=1e-11)
     np.testing.assert_allclose(phi_p, phi_s, rtol=1e-11)
+
+
+def test_trace_sharded_window_engine_matches_single():
+    """Window-accumulate (PackedPositions) staging under the source
+    mesh: every shard runs the one-RMW-per-batch path on its batch
+    slice; the psum-reduced Gamma must match the single-device trace."""
+    from pyc2ray_tpu.ops.raytrace_cheb import ChebRaytracer, PackedPositions
+    from pyc2ray_tpu.ops.raytrace_box import grey_bins
+    from pyc2ray_tpu.parallel.source_parallel import prepare_sources_sharded
+
+    N = 16
+    rng = np.random.RandomState(9)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0, 0.5, (N, N, N))
+    ns = 21
+    src = rng.randint(0, N, size=(ns, 3))
+    flux = rng.uniform(0.5, 5.0, ns)
+    rt = ChebRaytracer(N, 4.0, SIG, grey_bins(), batch_size=4,
+                       dtype=jnp.float64, accumulate="window")
+    assert rt.accumulate == "window"
+    phi_single = np.asarray(rt.trace(ndens, xh, src, flux, DR))
+    mesh = make_mesh()
+    pb, _ = prepare_sources_sharded(rt, mesh, src, flux)
+    assert isinstance(pb, PackedPositions)
+    assert pb.pos.shape[0] % mesh.devices.size == 0
+    phi_shard = np.asarray(trace_sharded(rt, mesh, ndens, xh, src,
+                                         flux, DR))
+    np.testing.assert_allclose(phi_shard, phi_single, rtol=1e-12)
