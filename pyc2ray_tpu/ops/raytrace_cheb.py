@@ -152,9 +152,9 @@ class ChebRaytracer:
         # (prepare_sources), each batch's phi boxes are placed into one
         # shared (W,W,W) window via one-hot batched matmuls (MXU work,
         # no scatter), and the padded accumulator takes ONE RMW pair per
-        # batch instead of per source. Falls back to the scan path per
-        # batch (lax.cond) whenever a batch is not span-packed, so it is
-        # correct for arbitrary batches (e.g. the parallel staging paths).
+        # batch instead of per source. Batches not marked as span-packed
+        # (bare arrays from the parallel staging paths) always take the
+        # scan path — see PackedPositions.
         pad_full = self.N + g.Dc - 1     # single-device padded extent
         if window_size is not None:
             W = int(window_size)
