@@ -414,11 +414,15 @@ class C2RaySimulation:
                 BlackBodySource(self.bb_Teff, self.grey,
                                 ev2fr * self.eth0, self.cs_pl_idx_h),
                 panels_per_band=panels, nodes=nodes, pl=pl)
+            he_acc = str(ld["Raytracing"].get("accumulate", "auto"))
+            he_ws = ld["Raytracing"].get("window_size", None)
             self.raytracer = HeRaytracer(
                 self.N, float(self.R_max_LLS), bins, self.abu_he,
                 batch_size=batch, dtype=dtype,
                 use_pallas=bool(ld["Raytracing"].get("use_pallas", False)),
-                do_heating=self.compute_heating_rates)
+                do_heating=self.compute_heating_rates,
+                accumulate=he_acc,
+                window_size=None if he_ws is None else int(he_ws))
             if self.thermal is not None and not self.compute_heating_rates:
                 raise ValueError(
                     "Material.isothermal: false with engine: he requires "

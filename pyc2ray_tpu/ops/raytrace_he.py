@@ -30,7 +30,7 @@ from jax import lax
 
 from ..constants import S_STAR_REF, MAX_COLDENSH
 from ..radiation.helium import HeSpectralBins
-from .raytrace_cheb import ChebRaytracer
+from .raytrace_cheb import ChebRaytracer, PackedPositions
 
 __all__ = ["HeRaytracer", "HeBinTables"]
 
@@ -52,25 +52,31 @@ class HeRaytracer:
 
     def __init__(self, N, R_max_LLS, bins: HeSpectralBins, abu_he,
                  batch_size=8, dtype=jnp.float32, use_pallas=False,
-                 do_heating=False):
+                 do_heating=False, accumulate="auto", window_size=None):
         from ..radiation.spectral_bins import SpectralBins
         self.abu_he = float(abu_he)
         self.do_heating = bool(do_heating)
         self.bins = bins
         st = bins.sigma_th
-        # the host engine supplies geometry, sweeps and box machinery;
-        # its own (H-only) bins/rates are never used here
+        # the host engine supplies geometry, sweeps, box machinery and
+        # the window-accumulate staging (its own H-only bins/rates are
+        # never used here)
         placeholder = SpectralBins(s=np.ones(1), w_photo=np.ones(1),
                                    w_heat=np.zeros(1), num_bins=1)
-        # accumulate="scan": the He trace path carries its own
-        # three-species accumulate; the host engine's window-packed
-        # staging (PackedPositions) is not used here
         self.eng = ChebRaytracer(N, R_max_LLS, st[0], placeholder,
                                  batch_size=batch_size, dtype=dtype,
-                                 use_pallas=use_pallas, accumulate="scan")
+                                 use_pallas=use_pallas,
+                                 accumulate=accumulate,
+                                 window_size=window_size)
         self.N = self.eng.N
         self.batch_size = self.eng.batch_size
         self.dtype = dtype
+        # staging delegation: the parallel paths (prepare_sources_sharded,
+        # DomainDecomposition.prepare_sources) drive the window packing
+        # through these
+        self.accumulate = self.eng.accumulate
+        self.window_for_ext = self.eng.window_for_ext
+        self._prepare_sources_packed = self.eng._prepare_sources_packed
         self.sigma_th = tuple(float(v) for v in st)
         self.he_tables = HeBinTables(
             s=jnp.asarray(bins.s, dtype),
@@ -84,26 +90,36 @@ class HeRaytracer:
 
     # ------------------------------------------------------------------
     def _rates_he(self, tb, heb, cds, nboxes, flux, dr):
-        """Multi-species rate pass over the box.
+        """Multi-species rate pass over the central rates SUBBOX.
 
-        cds / nboxes: tuples of 3 arrays (B, Dc, Dc, Dc)."""
-        g = self.eng.geom
+        cds / nboxes: tuples of 3 arrays (B, Dc, Dc, Dc); returns
+        (B, Ds, Ds, Ds) channels to accumulate at box position + rb0
+        (same subbox contract as ChebRaytracer._rates — the pass is
+        exp-compute-bound x 3 species, so shrinking the domain wins)."""
+        eng = self.eng
+        g = eng.geom
         dt = self.dtype
         sig_th = [jnp.asarray(s, dt) for s in self.sigma_th]
-        path = tb.path3[None] * dr
+        b0, b1, Ds = eng._rb0, eng._rb1, eng.Ds
+        sub = (slice(None),) + (slice(b0, b1),) * 3
+        cds = [c[sub] for c in cds]
+        nboxes = [n[sub] for n in nboxes]
+        path3 = tb.path3_s
+        dist2 = tb.dist2_s
+        path = path3[None] * dr
 
         dcol = [nboxes[s] * path for s in range(3)]
         cdin = [cds[s] - dcol[s] for s in range(3)]
 
-        c = g.c
-        i3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 0)
-        j3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 1)
-        k3 = lax.broadcasted_iota(jnp.int32, (g.Dc,) * 3, 2)
-        is_src = ((i3 == c) & (j3 == c) & (k3 == c))[None]
+        cs = g.c - b0
+        i3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 0)
+        j3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 1)
+        k3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 2)
+        is_src = ((i3 == cs) & (j3 == cs) & (k3 == cs))[None]
         s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
                              - 3.0 * jnp.log(dr))
         geom_fact = jnp.where(
-            is_src, 1.0, 1.0 / (tb.dist2[None] * tb.path3[None] * FOURPI))
+            is_src, 1.0, 1.0 / (dist2[None] * path3[None] * FOURPI))
         prefact = flux[:, None, None, None] * s_over_dr3 * geom_fact
 
         tiny = jnp.asarray(1e-30 if dt == jnp.float32 else 1e-280, dt)
@@ -129,9 +145,9 @@ class HeRaytracer:
                     acc_heat = acc_heat + heb.w_heat[s, e] * inv * dtau_s[s]
 
         R2 = jnp.asarray(self.eng.R_max_LLS ** 2, dt)
-        mask = (tb.rate_valid[None]
+        mask = (tb.rate_valid_s[None]
                 & (cdin[0] <= jnp.asarray(MAX_COLDENSH, dt))
-                & (tb.dist2[None] <= R2))
+                & (dist2[None] <= R2))
         out = []
         for s in range(3):
             gam = prefact * acc[s] / jnp.maximum(nboxes[s], tiny)
@@ -168,6 +184,11 @@ class HeRaytracer:
         pads = list(field_exts)
         n_out = 4 if self.do_heating else 3
         phi0 = [jnp.zeros(pads[0].shape, self.dtype) for _ in range(n_out)]
+        packed = isinstance(pos_b, PackedPositions)
+        if packed:
+            pos_b = pos_b.pos
+        W = eng.window_for_ext(pads[0].shape) if packed else None
+        use_window = W is not None
 
         def batch_step(b, phis):
             z32 = jnp.zeros((), jnp.int32)
@@ -175,11 +196,34 @@ class HeRaytracer:
                                     (1,) + pos_b.shape[1:])[0]
             flux = lax.dynamic_slice(flux_b, (b.astype(jnp.int32), z32),
                                      (1,) + flux_b.shape[1:])[0]
-            boxes = [eng._extract_boxes(p, pos) for p in pads]
+            if use_window:
+                hi = jnp.asarray([s - W for s in pads[0].shape], jnp.int32)
+                origin = jnp.clip(jnp.min(pos, axis=0), 0, hi)
+                off = pos - origin[None]
+                oh = eng._axis_onehots(off, W)
+                o3 = (origin[0], origin[1], origin[2])
+                boxes = [eng._extract_from_window(
+                    lax.dynamic_slice(p, o3, (W,) * 3), oh) for p in pads]
+            else:
+                boxes = [eng._extract_boxes(p, pos) for p in pads]
             sweep = eng._sweep_pallas if eng.use_pallas else eng._sweep
             cds = [sweep(tb, boxes[s], dr, sig=self.sigma_th[s])
                    for s in range(3)]
             gam = self._rates_he(tb, heb, cds, boxes, flux, dr)
+            D = gam[0].shape[-1]
+            shift = eng._rb0 if D == eng.Ds else 0
+
+            if use_window:
+                oh_p = oh if (D == g.Dc and shift == 0) else \
+                    eng._axis_onehots(off + shift, W, D)
+
+                def wacc(pad, box):
+                    win = eng._place_boxes(box, oh_p)
+                    cur = lax.dynamic_slice(pad, o3, (W,) * 3)
+                    return lax.dynamic_update_slice(pad, cur + win, o3)
+
+                return tuple(wacc(phis[s], gam[s])
+                             for s in range(len(phis)))
 
             def accum(pad, boxes_v):
                 def one(i, p_acc):
@@ -188,10 +232,9 @@ class HeRaytracer:
                     box = lax.dynamic_slice(
                         boxes_v, (i32, z32, z32, z32),
                         (1,) + boxes_v.shape[1:])[0]
-                    cur = lax.dynamic_slice(
-                        p_acc, (pv[0], pv[1], pv[2]), (g.Dc,) * 3)
-                    return lax.dynamic_update_slice(
-                        p_acc, cur + box, (pv[0], pv[1], pv[2]))
+                    p0 = (pv[0] + shift, pv[1] + shift, pv[2] + shift)
+                    cur = lax.dynamic_slice(p_acc, p0, (D,) * 3)
+                    return lax.dynamic_update_slice(p_acc, cur + box, p0)
                 return lax.fori_loop(0, pos.shape[0], one, pad)
 
             return tuple(accum(phis[s], gam[s]) for s in range(len(phis)))

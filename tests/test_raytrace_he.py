@@ -279,3 +279,31 @@ def test_he_thermal_source_parallel_matches_single():
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10)
+
+
+def test_he_window_accumulate_matches_scan():
+    """The He engine's window accumulate (all three Gamma channels plus
+    heat through the host engine's placement matmuls) must match the
+    per-source scan path."""
+    N, R = 24, 5.0
+    rng = np.random.default_rng(7)
+    nd = 1e-3 * (1 + 0.5 * rng.random((N, N, N)))
+    xh = 1e-3 * rng.random((N, N, N))
+    y1 = 1e-3 * rng.random((N, N, N))
+    y2 = 1e-4 * rng.random((N, N, N))
+    ns = 40
+    pos = rng.integers(0, N, (ns, 3))
+    flux = 10 ** rng.uniform(-1, 1, ns)
+    common = dict(batch_size=8, dtype=jnp.float32, do_heating=True)
+    bins = _he_bins()
+    e_scan = HeRaytracer(N, R, bins, 0.074, accumulate="scan", **common)
+    e_win = HeRaytracer(N, R, bins, 0.074, accumulate="window", **common)
+    assert e_win.accumulate == "window"
+    out_s = e_scan.trace(nd, xh, y1, y2, pos, flux, DR)
+    out_w = e_win.trace(nd, xh, y1, y2, pos, flux, DR)
+    for a, b in zip(out_s, out_w):
+        a, b = np.asarray(a), np.asarray(b)
+        assert ((a != 0) == (b != 0)).all()
+        big = np.abs(a) > 1e-30
+        if big.any():
+            assert (np.abs(a - b)[big] / np.abs(a)[big]).max() < 1e-5
