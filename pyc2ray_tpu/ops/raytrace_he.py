@@ -99,7 +99,6 @@ class HeRaytracer:
         eng = self.eng
         g = eng.geom
         dt = self.dtype
-        sig_th = [jnp.asarray(s, dt) for s in self.sigma_th]
         b0, b1, Ds = eng._rb0, eng._rb1, eng.Ds
         sub = (slice(None),) + (slice(b0, b1),) * 3
         cds = [c[sub] for c in cds]
@@ -123,26 +122,31 @@ class HeRaytracer:
         prefact = flux[:, None, None, None] * s_over_dr3 * geom_fact
 
         tiny = jnp.asarray(1e-30 if dt == jnp.float32 else 1e-280, dt)
-        acc = [jnp.zeros_like(cds[0]) for _ in range(3)]
-        acc_heat = jnp.zeros_like(cds[0]) if self.do_heating else None
-        E = int(self.bins.num_bins)
-        for e in range(E):
-            tau_in = jnp.zeros_like(cds[0])
-            dtau_s = []
-            for s in range(3):
-                se = heb.s[s, e] * sig_th[s]
-                tau_in = tau_in + cdin[s] * se
-                dtau_s.append(dcol[s] * se)
-            dtau = dtau_s[0] + dtau_s[1] + dtau_s[2]
-            core = jnp.exp(-tau_in) * (-jnp.expm1(-dtau))
-            inv = core / jnp.maximum(dtau, tiny)
-            for s in range(3):
-                acc[s] = acc[s] + heb.w[e] * inv * dtau_s[s]
-                if self.do_heating:
-                    # energy deposited by species s in bin e: the bin's
-                    # absorbed photons x the species' opacity share x its
-                    # excess energy h(nu_e - nu_th,s)  (w_heat[s,e])
-                    acc_heat = acc_heat + heb.w_heat[s, e] * inv * dtau_s[s]
+        # Tensor form over bins (the unrolled 96-bin x 3-species python
+        # loop compiled for ~8 minutes and ran far off the roofline):
+        # per-cell composite tau becomes one (cells,3)x(3,E) matmul, the
+        # transcendental core one big (cells,E) elementwise block, and
+        # the per-species opacity-share reduction one (cells,E)x(E,)
+        # matvec per output channel — MXU work plus a single fused VPU
+        # pass instead of E unrolled read-modify-write chains.
+        se_mat = heb.s * heb.sigma_th[:, None]          # (3, E)
+        A = jnp.stack([c.reshape(-1) for c in cdin], 1)   # (n, 3)
+        Dm = jnp.stack([d.reshape(-1) for d in dcol], 1)  # (n, 3)
+        hp = lax.Precision.HIGHEST
+        tau_in = jnp.einsum("ns,se->ne", A, se_mat, precision=hp)
+        dtau_e = jnp.einsum("ns,se->ne", Dm, se_mat, precision=hp)
+        core = jnp.exp(-tau_in) * (-jnp.expm1(-dtau_e))
+        inv = core / jnp.maximum(dtau_e, tiny)            # (n, E)
+        # acc_s = D_s * sum_e inv_e * w_e * se[s,e]
+        wv = jnp.einsum("ne,se->ns", inv, heb.w[None] * se_mat,
+                        precision=hp)                     # (n, 3)
+        sh4 = cds[0].shape
+        acc = [(Dm[:, s] * wv[:, s]).reshape(sh4) for s in range(3)]
+        acc_heat = None
+        if self.do_heating:
+            wh = jnp.einsum("ne,se->ns", inv, heb.w_heat * se_mat,
+                            precision=hp)
+            acc_heat = jnp.sum(Dm * wh, axis=1).reshape(sh4)
 
         R2 = jnp.asarray(self.eng.R_max_LLS ** 2, dt)
         mask = (tb.rate_valid_s[None]
