@@ -405,15 +405,26 @@ class C2RaySimulation:
             from ..ops.raytrace_he import HeRaytracer
             from ..radiation.helium import make_spectral_bins_he, DEFAULT_PL
             from ..ops.chemistry_he import HeChemistryParams
-            panels = int(ld["Raytracing"].get("bins_panels", 6))
+            # 3x8 = 72 bins over 3 bands: worst-case 3.4e-4 (photo) /
+            # 1.1e-3 (heat) relative error vs a 768-bin dense reference
+            # over per-species tau in [1e-6, 1e4] (scratch/he_bins_acc.py;
+            # docs/TPU_PERFORMANCE_NOTES.md). The He rate pass is the
+            # engine's dominant cost and scales linearly with the bin
+            # count; raise bins_panels for accuracy studies.
+            panels = int(ld["Raytracing"].get("bins_panels", 3))
             nodes = int(ld["Raytracing"].get("bins_nodes", 8))
             # honor the configured HI cross-section slope in the He bins
             # (HeI/HeII keep the standard defaults)
             pl = (float(self.cs_pl_idx_h), DEFAULT_PL[1], DEFAULT_PL[2])
+            # Raytracing.cross_sections: powerlaw (reference family,
+            # default) | verner (Verner et al. 1996 analytic fits)
+            cs_model = str(ld["Raytracing"].get("cross_sections",
+                                                "powerlaw"))
             bins = make_spectral_bins_he(
                 BlackBodySource(self.bb_Teff, self.grey,
                                 ev2fr * self.eth0, self.cs_pl_idx_h),
-                panels_per_band=panels, nodes=nodes, pl=pl)
+                panels_per_band=panels, nodes=nodes, pl=pl,
+                cross_section_model=cs_model)
             he_acc = str(ld["Raytracing"].get("accumulate", "auto"))
             he_ws = ld["Raytracing"].get("window_size", None)
             self.raytracer = HeRaytracer(

@@ -20,8 +20,11 @@ hydrogen (sigma(nu) = sigma_th (nu/nu_th)^-pl, blackbody.py:46-50,
 parameters.yml cross_section_pl_index), with species thresholds and
 slopes configurable; defaults are threshold values sigma_th(HI, HeI,
 HeII) = (6.30e-18, 7.42e-18, 1.58e-18) cm^2 and slopes (2.8, 1.7, 2.8)
-— the HeI slope is shallower near threshold. A future refinement can
-swap in Verner et al. (1996) fits without changing any consumer.
+— the HeI slope is shallower near threshold. The Verner, Ferland,
+Korista & Yakovlev (1996, ApJ 465, 487) analytic fits are available as
+``cross_section_model="verner"`` (verner_cross_section below) — only
+the bin construction changes; every consumer (sweep weights, rate
+einsums) sees the same (s, sigma_th) contract.
 """
 
 from typing import NamedTuple
@@ -31,12 +34,24 @@ import numpy as np
 from ..constants import hplanck, ev2fr, S_STAR_REF
 
 __all__ = ["HE_EDGES_EV", "SIGMA_TH", "HeSpectralBins",
-           "make_spectral_bins_he", "cross_section"]
+           "make_spectral_bins_he", "cross_section", "verner_cross_section"]
 
 # ionization thresholds (eV) and threshold cross sections (cm^2)
 HE_EDGES_EV = (13.598, 24.587, 54.416)
 SIGMA_TH = (6.30e-18, 7.42e-18, 1.58e-18)
 DEFAULT_PL = (2.8, 1.7, 2.8)
+
+# Verner et al. (1996) Table 1 fit parameters for the ground states of
+# H I, He I, He II: (E_0 [eV], sigma_0 [Mb], y_a, P, y_w, y_0, y_1).
+# The fit: x = E/E_0 - y_0, y = sqrt(x^2 + y_1^2),
+#   sigma = sigma_0 [(x-1)^2 + y_w^2] y^(P/2 - 5.5) (1 + sqrt(y/y_a))^-P
+# Threshold values recovered: 6.35, 7.42, 1.59 Mb (vs the power-law
+# family's 6.30/7.42/1.58 anchors).
+VERNER_PARAMS = (
+    (4.298e-1, 5.475e4, 3.288e1, 2.963, 0.0, 0.0, 0.0),        # H I
+    (1.361e1, 9.492e2, 1.469, 3.188, 2.039, 4.434e-1, 2.136),  # He I
+    (1.720, 1.369e4, 3.288e1, 2.963, 0.0, 0.0, 0.0),           # He II
+)
 
 
 def cross_section(nu, species, pl=None):
@@ -46,6 +61,22 @@ def cross_section(nu, species, pl=None):
     nu = np.asarray(nu, dtype=np.float64)
     return np.where(nu >= nu_th,
                     SIGMA_TH[species] * (nu / nu_th) ** (-pl), 0.0)
+
+
+def verner_cross_section(nu, species):
+    """Verner et al. (1996) analytic fit, sigma_s(nu) in cm^2.
+
+    Valid over the full band used here (threshold to ~544 eV; the fits
+    hold to E_max = 5e4 eV). Zero below the species threshold."""
+    E0, sig0, ya, P, yw, y0, y1 = VERNER_PARAMS[species]
+    nu = np.asarray(nu, dtype=np.float64)
+    E = nu / ev2fr                     # eV
+    x = E / E0 - y0
+    y = np.sqrt(x * x + y1 * y1)
+    F = (((x - 1.0) ** 2 + yw * yw)
+         * np.power(y, 0.5 * P - 5.5)
+         * np.power(1.0 + np.sqrt(y / ya), -P))
+    return np.where(E >= HE_EDGES_EV[species], sig0 * 1e-18 * F, 0.0)
 
 
 class HeSpectralBins(NamedTuple):
@@ -58,13 +89,17 @@ class HeSpectralBins(NamedTuple):
 
 
 def make_spectral_bins_he(source, S_star_ref=S_STAR_REF,
-                          panels_per_band=6, nodes=8, pl=DEFAULT_PL,
-                          freq_max=None):
+                          panels_per_band=3, nodes=8, pl=DEFAULT_PL,
+                          freq_max=None, cross_section_model="powerlaw"):
     """Three-band multi-species bins for a normalized source.
 
     ``source`` follows radiation.BlackBodySource's interface; its SED is
     normalized so the FULL band [nu_HI, freq_max] integrates to
-    S_star_ref photons/s (same convention as the H-only bins)."""
+    S_star_ref photons/s (same convention as the H-only bins).
+    ``cross_section_model``: "powerlaw" (the reference's family) or
+    "verner" (Verner et al. 1996 fits). sigma_th is always taken at the
+    species threshold of the chosen model so s = sigma/sigma_th stays
+    normalized for the sweep weights."""
     edges_nu = [ev2fr * e for e in HE_EDGES_EV]
     if freq_max is None:
         freq_max = 10 * edges_nu[2]
@@ -89,10 +124,21 @@ def make_spectral_bins_he(source, S_star_ref=S_STAR_REF,
     w_photo = W * sed / S_star_ref
     s = np.zeros((3, nu.shape[0]))
     w_heat = np.zeros((3, nu.shape[0]))
+    if cross_section_model == "powerlaw":
+        sigma_fn = lambda f, sp: cross_section(f, sp, pl[sp])
+        sigma_th = SIGMA_TH
+    elif cross_section_model == "verner":
+        sigma_fn = verner_cross_section
+        sigma_th = tuple(float(verner_cross_section(
+            ev2fr * HE_EDGES_EV[sp] * (1 + 1e-12), sp)) for sp in range(3))
+    else:
+        raise ValueError(
+            f"unknown cross_section_model {cross_section_model!r} "
+            f"(valid: powerlaw, verner)")
     for sp in range(3):
-        sig = cross_section(nu, sp, pl[sp])
-        s[sp] = sig / SIGMA_TH[sp]
+        sig = sigma_fn(nu, sp)
+        s[sp] = sig / sigma_th[sp]
         w_heat[sp] = w_photo * hplanck * np.maximum(
             nu - edges_nu[sp], 0.0)
     return HeSpectralBins(s=s, w_photo=w_photo, w_heat=w_heat,
-                          num_bins=nu.shape[0], sigma_th=SIGMA_TH)
+                          num_bins=nu.shape[0], sigma_th=sigma_th)

@@ -31,6 +31,49 @@ def test_cross_sections_thresholds():
         assert cross_section(2 * nu_th, sp) < SIGMA_TH[sp]
 
 
+def test_verner_cross_sections():
+    """Verner et al. (1996) fits: published threshold values, zero below
+    the edge, monotone decline, hydrogenic HeII/HI threshold ratio."""
+    from pyc2ray_tpu.radiation.helium import verner_cross_section
+    # threshold values from the fit (Mb): 6.35 / 7.42 / 1.59
+    expect = (6.346e-18, 7.42e-18, 1.587e-18)
+    for sp in range(3):
+        nu_th = ev2fr * HE_EDGES_EV[sp]
+        v = float(verner_cross_section(nu_th * (1 + 1e-12), sp))
+        assert abs(v / expect[sp] - 1) < 5e-3, (sp, v)
+        assert verner_cross_section(nu_th * 0.999, sp) == 0.0
+        # decline over the band
+        grid = nu_th * np.linspace(1.0 + 1e-9, 10.0, 50)
+        sig = verner_cross_section(grid, sp)
+        assert np.all(np.diff(sig) < 0)
+    # He II is hydrogenic: threshold sigma ~ sigma_HI / Z^2
+    r = expect[2] / expect[0]
+    assert abs(r * 4 - 1) < 5e-3
+
+
+def test_he_bins_verner_model():
+    """Bins built with the Verner model keep the (s, sigma_th) contract:
+    s normalized to 1 at each species edge, photon weights identical to
+    the power-law build (the SED does not depend on the cross sections),
+    and an unknown model name raises."""
+    import pytest
+    bb = BlackBodySource(1e5, False, ev2fr * HE_EDGES_EV[0], 2.8)
+    bp = make_spectral_bins_he(bb, panels_per_band=3, nodes=4)
+    bv = make_spectral_bins_he(bb, panels_per_band=3, nodes=4,
+                               cross_section_model="verner")
+    assert np.allclose(bv.w_photo, bp.w_photo)
+    assert bv.s.shape == bp.s.shape
+    # normalized opacities: below ~1 over the band, zero below the edge
+    nb = bv.num_bins // 3
+    assert np.all(bv.s[1][:nb] == 0.0) and np.all(bv.s[2][: 2 * nb] == 0.0)
+    assert np.all(bv.s <= 1.0 + 1e-9)
+    # sigma_th close to (but not identical to) the power-law anchors
+    for sp in range(3):
+        assert abs(bv.sigma_th[sp] / SIGMA_TH[sp] - 1) < 0.01
+    with pytest.raises(ValueError, match="cross_section_model"):
+        make_spectral_bins_he(bb, cross_section_model="nope")
+
+
 def test_he_bins_structure():
     b = _he_bins()
     assert b.s.shape == (3, b.num_bins)
