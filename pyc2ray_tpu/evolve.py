@@ -220,6 +220,12 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
     if thermal is not None and not getattr(raytracer, "do_heating", False):
         raise ValueError("thermal evolution requires HeRaytracer("
                          "do_heating=True) (Photo.compute_heating_rates)")
+    secondary = bool(getattr(phe, "secondary", False))
+    if secondary and not getattr(raytracer, "do_heating", False):
+        raise ValueError(
+            "secondary ionizations require HeRaytracer(do_heating=True) "
+            "(Photo.compute_heating_rates: the heat channel carries the "
+            "photoelectron energy being redistributed)")
     state = {"xh_av": xh_d, "y1_av": y1_d, "y2_av": y2_d,
              "xh_int": xh_d, "y1_int": y1_d, "y2_int": y2_d,
              "g": (None,) * 3}
@@ -238,7 +244,8 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
          conv_flag) = global_pass_he(
             dt_d, ndens_d, temp_d, xh_d, xh_av_seen,
             y1_d, state["y1_av"], y2_d, state["y2_av"],
-            g[0], g[1], g[2], phe)
+            g[0], g[1], g[2], phe,
+            heat=g[3] if secondary else None)
         sum1 = jnp.sum(xh_int)
         sum0 = jnp.sum(1.0 - xh_int)
         absorbed = _absorbed_rate_he_jit(
@@ -267,9 +274,16 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
            np.asarray(g[1]).reshape(sh3), np.asarray(g[2]).reshape(sh3))
     if thermal is not None:
         from .ops.thermal import update_temperature
+        heat_rate = g[3].reshape(-1)
+        if secondary:
+            # energy split, not double count: the chemistry consumed
+            # f_ion of the deposition; only f_heat(x) thermalizes
+            from .ops.chemistry_he import secondary_heating_fraction
+            heat_rate = heat_rate * secondary_heating_fraction(
+                state["xh_av"].reshape(-1))
         temp_new = update_temperature(
             dt_d, temp_d.reshape(-1), ndens_d.reshape(-1),
-            state["xh_av"].reshape(-1), g[3].reshape(-1), thermal,
+            state["xh_av"].reshape(-1), heat_rate, thermal,
             z=float(zred))
         out = out + (np.asarray(temp_new).reshape(sh3),)
     return out

@@ -45,7 +45,7 @@ __all__ = ["C2RaySimulation"]
 _DEFAULTS = {
     "Grid": {"resume": 0},
     "Photo": {"compute_heating_rates": 0, "grey": 0,
-              "SourceType": "blackbody"},
+              "SourceType": "blackbody", "secondary_ionization": 0},
     "Raytracing": {"source_batch_size": 8, "convergence_fraction": 1e-4,
                    "loss_fraction": 1e-2, "subboxsize": 150,
                    "max_subbox": 1000, "dtype": "float64",
@@ -346,6 +346,8 @@ class C2RaySimulation:
         self.SourceType = ld["Photo"]["SourceType"]
         self.grey = bool(ld["Photo"]["grey"])
         self.compute_heating_rates = bool(ld["Photo"]["compute_heating_rates"])
+        self.secondary_ionization = bool(
+            ld["Photo"]["secondary_ionization"])
 
         self.tau, self.dlogtau = make_tau_table(
             self.minlogtau, self.maxlogtau, self.NumTau)
@@ -399,6 +401,11 @@ class C2RaySimulation:
                 f"three-species H+He; box = octahedral sheet-batched "
                 f"formulation)")
         self.multi_species = (engine == "he")
+        if self.secondary_ionization and engine != "he":
+            raise ValueError(
+                "Photo.secondary_ionization: 1 requires Raytracing."
+                "engine: he (the Shull & van Steenberg redistribution "
+                "needs the three-species photoelectron energy channel)")
         if engine == "he":
             # helium extension (beyond reference): three-species engine +
             # coupled H/He chemistry; see ops/raytrace_he.py
@@ -439,8 +446,15 @@ class C2RaySimulation:
                     "Material.isothermal: false with engine: he requires "
                     "Photo.compute_heating_rates: 1 (the He engine "
                     "accumulates heating only when asked)")
-            self.chem_he = HeChemistryParams(chem=self.chem,
-                                             abu_he=self.abu_he)
+            if self.secondary_ionization and not self.compute_heating_rates:
+                raise ValueError(
+                    "Photo.secondary_ionization: 1 requires "
+                    "Photo.compute_heating_rates: 1 (the heat channel "
+                    "carries the photoelectron energy being "
+                    "redistributed into HI/HeI collisional ionizations)")
+            self.chem_he = HeChemistryParams(
+                chem=self.chem, abu_he=self.abu_he,
+                secondary=self.secondary_ionization)
             # He ionization state (xHeII, xHeIII fractions)
             if not hasattr(self, "xhe1"):
                 self.xhe1 = np.full(self.shape, 1e-3)

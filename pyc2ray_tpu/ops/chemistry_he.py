@@ -32,8 +32,21 @@ Rate coefficients: helium recombination uses the hydrogenic case-B
 scaling alpha_HeIII(T) = 2 alpha_B(T/4) from the configured hydrogen
 coefficients (bh00, albpow), alpha_HeII a separate power law (default
 2.72e-13 (T/1e4)^-0.789); collisional ionization uses the Cen (1992)
-sqrt(T) exp(-E/kT) forms. Secondary ionizations and on-the-spot
-He->H photon recycling are NOT modeled (documented scope).
+sqrt(T) exp(-E/kT) forms.
+
+Secondary ionizations (opt-in, ``global_pass_he(..., heat=...)``): fast
+photoelectrons deposit a fraction of their energy in collisional
+ionization of HI and HeI instead of heat, with the Shull & van
+Steenberg (1985) fractions evaluated at the (iterated) time-averaged
+hydrogen ionized fraction. The raytracer's heat channel already carries
+the FULL per-HI-atom photoelectron energy deposition rate of all three
+species (raytrace_he.py heat channel contract), so the per-HI-atom
+secondary rate is simply f_ion,H(x) * heat / E_th,HI — density-free —
+and the HeI rate rescales by the HI/HeI number-density ratio. The
+consumer of the heat channel must then multiply it by f_heat(x)
+(``secondary_heating_fraction``) so energy is not double-counted.
+On-the-spot He->H photon recycling remains NOT modeled (documented
+scope).
 """
 
 from functools import partial
@@ -42,11 +55,43 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import EPSILON
+from ..constants import EPSILON, hplanck, ev2fr
+from ..radiation.helium import HE_EDGES_EV
 from .chemistry import (ChemistryParams, doric, MIN_FRACTIONAL_CHANGE,
                         MIN_FRACTION_OF_ATOMS, MAX_INNER_ITER)
 
-__all__ = ["HeChemistryParams", "he_update", "global_pass_he"]
+__all__ = ["HeChemistryParams", "he_update", "global_pass_he",
+           "secondary_ionization_fractions",
+           "secondary_heating_fraction"]
+
+# ionization thresholds in erg (E = h nu_th)
+_ETH_ERG = tuple(hplanck * ev2fr * e for e in HE_EDGES_EV)
+
+
+def secondary_ionization_fractions(x):
+    """Shull & van Steenberg (1985) energy fractions of a fast
+    photoelectron going into collisional ionization of HI and HeI, as a
+    function of the hydrogen ionized fraction x. Returns (f_HI, f_HeI).
+
+    Fits (their eqs. for phi_ion): f = C (1 - x^a)^b with
+    (C, a, b) = (0.3908, 0.4092, 1.7592) for HI and
+    (0.0554, 0.4614, 1.6660) for HeI. Valid asymptotically for
+    >~ 100 eV electrons; applied band-wide here (the soft-UV
+    photoelectrons carry little energy, so the error is bounded by
+    their small share of the deposition)."""
+    xc = jnp.clip(x, 0.0, 1.0)
+    f_hi = 0.3908 * (1.0 - xc ** 0.4092) ** 1.7592
+    f_hei = 0.0554 * (1.0 - xc ** 0.4614) ** 1.6660
+    return f_hi, f_hei
+
+
+def secondary_heating_fraction(x):
+    """Shull & van Steenberg (1985) heat fraction 0.9971
+    (1 - (1 - x^0.2663)^1.3163): ~0.11 at x=1e-4, ->1 fully ionized.
+    Multiply the raytracer's heat channel by this when secondary
+    ionizations are on (energy split, not double count)."""
+    xc = jnp.clip(x, 0.0, 1.0)
+    return 0.9971 * (1.0 - (1.0 - xc ** 0.2663) ** 1.3163)
 
 
 class HeChemistryParams(NamedTuple):
@@ -58,6 +103,12 @@ class HeChemistryParams(NamedTuple):
     temphe0: float = 285335.4      # HeI ionization energy / k_B
     colhe1: float = 5.68e-12       # C_HeII prefactor (Cen 1992)
     temphe1: float = 631515.0      # HeII ionization energy / k_B
+    # secondary ionizations by fast photoelectrons (Shull & van
+    # Steenberg 1985). Host-level flag: the evolve loops read it to
+    # decide whether to pass the heat channel into global_pass_he and
+    # to scale thermal input by secondary_heating_fraction; it is never
+    # branched on inside traced code.
+    secondary: bool = False
 
 
 def _expm2(A11, A12, A21, A22, b1, b2, u1, u2, dt):
@@ -175,16 +226,37 @@ def he_update(y1, y2, dt, temp, ne, g_he1, g_he2, p: HeChemistryParams):
 @partial(jax.jit, static_argnames=())
 def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
                    phi_h, phi_he1, phi_he2, p: HeChemistryParams,
-                   mask=None):
+                   mask=None, heat=None):
     """Coupled H+He chemistry pass (elementwise over any shape).
 
     ndens is the HYDROGEN number density; n_He = abu_he * ndens.
     ``mask`` (optional bool array) excludes cells from the
     non-convergence count (dead padding rows, parallel/domain.py).
+    ``heat`` (optional): the raytracer's per-HI-atom photoelectron
+    energy deposition rate (erg/s) — passing it turns ON secondary
+    ionizations (Shull & van Steenberg 1985 fractions at the iterated
+    time-averaged x; see module docstring). The caller must then scale
+    its own thermal use of the channel by secondary_heating_fraction.
     Returns (xh_t, xh_av, y1_t, y1_av, y2_t, y2_av, conv_flag)."""
     chem = p.chem
     nhe = p.abu_he * ndens
     xh_av_entry = xh_av
+    dtype = jnp.result_type(xh, temp)
+    if heat is not None:
+        tiny = jnp.asarray(1e-30 if dtype == jnp.float32 else 1e-280,
+                           dtype)
+        # volumetric deposition / n_HeI, precomputed outside the loop:
+        # E_dep = heat * n_HI; per-HeI-atom = f_HeI E_dep / (Eth n_HeI).
+        # Zero where there is no HeI (abu_he=0 or fully ionized He), and
+        # cap the per-atom rate at 1e12/s — rate*dt is saturated (fully
+        # ionized within any physical timestep) long before that, while
+        # an uncapped ratio overflows tr^2 in the 2x2 eigensolve.
+        nhi = ndens * (1.0 - xh_av_entry)
+        nhei = nhe * (1.0 - y1_av - y2_av)
+        dep_over_nhei = jnp.where(
+            nhei > tiny, heat * nhi / jnp.maximum(nhei, tiny), 0.0)
+        dep_over_nhei = jnp.minimum(dep_over_nhei,
+                                    1e12 * _ETH_ERG[1])
 
     def cond(state):
         active, nit = state[-2], state[-1]
@@ -193,9 +265,14 @@ def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
     def body(state):
         (xav, xint, y1av, y1int, y2av, y2int, active, nit) = state
         ne = ndens * (xav + chem.abu_c) + nhe * (y1av + 2.0 * y2av)
-        xh_new, xh_av_new = doric(xh, dt, temp, ne, phi_h, chem)
+        ph, phe1 = phi_h, phi_he1
+        if heat is not None:
+            f_hi, f_hei = secondary_ionization_fractions(xav)
+            ph = phi_h + f_hi * heat / _ETH_ERG[0]
+            phe1 = phi_he1 + f_hei * dep_over_nhei / _ETH_ERG[1]
+        xh_new, xh_av_new = doric(xh, dt, temp, ne, ph, chem)
         y1t, y2t, y1a, y2a = he_update(y1, y2, dt, temp, ne,
-                                       phi_he1, phi_he2, p)
+                                       phe1, phi_he2, p)
         relx = jnp.abs((xh_av_new - xav) / (1.0 - xh_av_new))
         rel1 = jnp.abs(y1a - y1av) / jnp.maximum(y1a, 1e-10)
         rel2 = jnp.abs(y2a - y2av) / jnp.maximum(y2a, 1e-10)

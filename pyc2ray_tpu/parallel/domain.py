@@ -617,6 +617,7 @@ class DomainDecomposition:
         spec = self._spec()
         sspec = self._src_spec()
         heating = eng.do_heating
+        secondary = bool(getattr(phe, "secondary", False)) and heating
         names = self._axis_names
         have = [s is not None for s in srcs[0::2]]
         src_specs = tuple(sspec for s in srcs if s is not None)
@@ -650,7 +651,8 @@ class DomainDecomposition:
                 dt, r(ndens), r(temp), r(xh0), r(xh_av),
                 r(y1_0), r(y1_av), r(y2_0), r(y2_av),
                 r(g[0]), r(g[1]), r(g[2]), phe,
-                mask=None if mask is None else mask.reshape(-1))
+                mask=None if mask is None else mask.reshape(-1),
+                heat=r(g[3]) if secondary else None)
             xi3 = xi.reshape(sh)
             w = 1.0 if mask is None else mask.astype(xi.dtype).reshape(sh)
             s1 = lax.psum(jnp.sum(xi3 * w), names)
@@ -807,6 +809,10 @@ def evolve3D_he_domain(dt, dr, src_flux, src_pos,
     if thermal is not None and not heating:
         raise ValueError("thermal evolution requires HeRaytracer("
                          "do_heating=True)")
+    secondary = bool(getattr(phe, "secondary", False))
+    if secondary and not heating:
+        raise ValueError("secondary ionizations require HeRaytracer("
+                         "do_heating=True)")
 
     printlog(f"Calling evolve3D_he over domain mesh "
              f"{decomp.pi}x{decomp.pj}x{decomp.pk} on {num_src:n} "
@@ -844,7 +850,12 @@ def evolve3D_he_domain(dt, dr, src_flux, src_pos,
            out3(state["y2_int"]), out3(g[1]), out3(g[2]))
     if thermal is not None:
         tstep = decomp.make_thermal_step(thermal, zred=float(zred))
+        heat_rate = g[3]
+        if secondary:
+            from ..ops.chemistry_he import secondary_heating_fraction
+            heat_rate = heat_rate * secondary_heating_fraction(
+                state["xh_av"])
         temp_new = tstep(jnp.asarray(dt, dtype), temp_d, ndens_d,
-                         state["xh_av"], g[3])
+                         state["xh_av"], heat_rate)
         out = out + (out3(temp_new),)
     return out

@@ -253,6 +253,7 @@ def make_sharded_step_he(raytracer, mesh, phe):
     from ..ops.chemistry_he import global_pass_he
     axes = ("src", "space")
     heating = raytracer.do_heating
+    secondary = bool(getattr(phe, "secondary", False)) and heating
     n_g = 4 if heating else 3
 
     @partial(shard_map, mesh=mesh,
@@ -280,7 +281,8 @@ def make_sharded_step_he(raytracer, mesh, phe):
         (xi_s, xav_s, y1i_s, y1a_s, y2i_s, y2a_s, cf_s) = global_pass_he(
             dt, sl(ndens), sl(temp), sl(xh0), sl(xh_av),
             sl(y1_0), sl(y1_av), sl(y2_0), sl(y2_av),
-            sl(gs[0]), sl(gs[1]), sl(gs[2]), phe)
+            sl(gs[0]), sl(gs[1]), sl(gs[2]), phe,
+            heat=sl(gs[3]) if secondary else None)
         ga = lambda a: jax.lax.all_gather(a, axes, tiled=True).reshape(sh)
         abu = jnp.asarray(phe.abu_he, xi_s.dtype)
         nhe_s = abu * sl(ndens)
@@ -325,6 +327,10 @@ def evolve3D_he_sharded(dt, dr, src_flux, src_pos, raytracer, mesh, phe,
     if thermal is not None and not heating:
         raise ValueError("thermal evolution requires HeRaytracer("
                          "do_heating=True)")
+    secondary = bool(getattr(phe, "secondary", False))
+    if secondary and not heating:
+        raise ValueError("secondary ionizations require HeRaytracer("
+                         "do_heating=True)")
     ng = 10 if heating else 9
 
     printlog(f"Calling evolve3D_he over mesh "
@@ -360,9 +366,14 @@ def evolve3D_he_sharded(dt, dr, src_flux, src_pos, raytracer, mesh, phe,
            o3(state["y2_int"]), o3(g[1]), o3(g[2]))
     if thermal is not None:
         from ..ops.thermal import update_temperature
+        heat_rate = jnp.asarray(g[3]).reshape(-1)
+        if secondary:
+            from ..ops.chemistry_he import secondary_heating_fraction
+            heat_rate = heat_rate * secondary_heating_fraction(
+                state["xh_av"].reshape(-1))
         temp_new = update_temperature(
             jnp.asarray(dt, dtype), temp_d.reshape(-1),
             ndens_d.reshape(-1), state["xh_av"].reshape(-1),
-            jnp.asarray(g[3]).reshape(-1), thermal, z=float(zred))
+            heat_rate, thermal, z=float(zred))
         out = out + (o3(temp_new),)
     return out

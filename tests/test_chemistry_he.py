@@ -186,3 +186,85 @@ def test_he_update_zero_density_cells():
         assert np.all(np.isfinite(np.asarray(v)))
     # with T=1e4 collisional He rates are ~0 and ne=0: nothing moves
     np.testing.assert_allclose(np.asarray(y2t), np.asarray(y2), atol=1e-12)
+
+
+def test_svs_fractions_limits():
+    """Shull & van Steenberg (1985) fractions: published limits and
+    monotonicity over the ionized fraction."""
+    from pyc2ray_tpu.ops.chemistry_he import (
+        secondary_ionization_fractions, secondary_heating_fraction)
+    x = jnp.asarray(np.linspace(0.0, 1.0, 101), jnp.float64)
+    f_hi, f_hei = secondary_ionization_fractions(x)
+    f_heat = secondary_heating_fraction(x)
+    f_hi, f_hei, f_heat = map(np.asarray, (f_hi, f_hei, f_heat))
+    # neutral-gas limits: the fit constants
+    np.testing.assert_allclose(f_hi[0], 0.3908, rtol=1e-12)
+    np.testing.assert_allclose(f_hei[0], 0.0554, rtol=1e-12)
+    assert f_heat[0] == 0.0
+    # fully ionized: everything thermalizes
+    assert f_hi[-1] == 0.0 and f_hei[-1] == 0.0
+    np.testing.assert_allclose(f_heat[-1], 0.9971, rtol=1e-12)
+    # monotone: ionization fractions fall, heat fraction rises
+    assert np.all(np.diff(f_hi) <= 0) and np.all(np.diff(f_heat) >= 0)
+    # known intermediate value: ~11% to heat at x ~ 1e-4
+    f_low = float(secondary_heating_fraction(jnp.float64(1e-4)))
+    assert 0.09 < f_low < 0.13
+    # energy split never exceeds unity
+    assert np.all(f_hi + f_hei + f_heat <= 1.0 + 1e-12)
+
+
+def test_global_pass_he_secondary_rate():
+    """With photoionization off, low density (negligible recombination)
+    and cold gas (no collisional ionization), the secondary channel must
+    reproduce dx/dt = f_HI(x) heat / E_th,HI (1-x) and the HeI analog
+    over a tiny timestep."""
+    from pyc2ray_tpu.ops.chemistry_he import (
+        secondary_ionization_fractions, _ETH_ERG)
+    sh = (8,)
+    dt = 1e4
+    ndens = jnp.full(sh, 1e-12, jnp.float64)   # recombination ~ 0
+    temp = jnp.full(sh, 100.0, jnp.float64)    # collisional ~ 0
+    x0 = jnp.full(sh, 0.01, jnp.float64)
+    y10 = jnp.full(sh, 0.005, jnp.float64)
+    y20 = jnp.zeros(sh, jnp.float64)
+    zero = jnp.zeros(sh, jnp.float64)
+    heat = jnp.full(sh, 1e-26, jnp.float64)    # erg/s per HI atom
+
+    out = global_pass_he(dt, ndens, temp, x0, x0, y10, y10, y20, y20,
+                         zero, zero, zero, PHE, heat=heat)
+    xh_t, xh_av = np.asarray(out[0]), np.asarray(out[1])
+    y1_t = np.asarray(out[2])
+
+    f_hi, f_hei = secondary_ionization_fractions(xh_av)
+    rate_h = np.asarray(f_hi) * 1e-26 / _ETH_ERG[0]
+    expect_dx = rate_h * (1.0 - 0.01) * dt
+    np.testing.assert_allclose(xh_t - 0.01, expect_dx, rtol=2e-2)
+
+    # HeI: per-atom rate rescaled by n_HI / n_HeI at the entry state
+    nhi_over_nhei = (1.0 - 0.01) / (PHE.abu_he * (1.0 - 0.005))
+    rate_he = np.asarray(f_hei) * 1e-26 * nhi_over_nhei / _ETH_ERG[1]
+    expect_dy1 = rate_he * (1.0 - 0.005) * dt
+    np.testing.assert_allclose(y1_t - 0.005, expect_dy1, rtol=2e-2)
+
+    # without the heat channel nothing moves (no other process is on)
+    out0 = global_pass_he(dt, ndens, temp, x0, x0, y10, y10, y20, y20,
+                          zero, zero, zero, PHE)
+    np.testing.assert_allclose(np.asarray(out0[0]), 0.01, rtol=1e-10)
+
+
+def test_global_pass_he_secondary_zero_helium():
+    """abu_he = 0: the HeI secondary denominator floor must keep the
+    pass finite and hydrogen must still receive its secondaries."""
+    phe0 = HeChemistryParams(chem=CHEM, abu_he=0.0, secondary=True)
+    sh = (4,)
+    zero = jnp.zeros(sh, jnp.float64)
+    out = global_pass_he(1e10, jnp.full(sh, 1e-7, jnp.float64),
+                         jnp.full(sh, 1e2, jnp.float64),
+                         jnp.full(sh, 0.1, jnp.float64),
+                         jnp.full(sh, 0.1, jnp.float64),
+                         zero, zero, zero, zero,
+                         zero, zero, zero, phe0,
+                         heat=jnp.full(sh, 1e-25, jnp.float64))
+    for v in out[:6]:
+        assert np.all(np.isfinite(np.asarray(v)))
+    assert np.all(np.asarray(out[0]) > 0.1)    # H ionized further

@@ -287,3 +287,48 @@ def test_paper244_model_end_to_end(tmp_path):
     sim2 = pc2r.C2Ray_244Test(pfile2, N)
     assert abs(sim2.zred_0 - zlist[1]) < 1e-3
     np.testing.assert_allclose(sim2.xh, sim.xh, rtol=1e-12)
+
+
+def test_secondary_ionization_through_model(tmp_path):
+    """Photo.secondary_ionization through the model API: requires
+    engine he + heating (validated), and boosts H ionization outside
+    the fully-ionized core relative to the same run without it."""
+    # misconfigurations raise with actionable messages
+    pfile = _setup(tmp_path, "he")
+    params = open(pfile).read().replace(
+        "compute_heating_rates: 0",
+        "compute_heating_rates: 0\n  secondary_ionization: 1")
+    assert "secondary_ionization: 1" in params
+    with open(pfile, "w") as f:
+        f.write(params)
+    with pytest.raises(ValueError, match="secondary_ionization"):
+        pc2r.C2Ray_Test(pfile, 8, use_gpu=True)
+
+    params = params.replace("compute_heating_rates: 0",
+                            "compute_heating_rates: 1")
+    pfile2 = str(tmp_path / "p2.yml")
+    with open(pfile2, "w") as f:
+        f.write(params.replace("engine: he", "engine: cheb"))
+    with pytest.raises(ValueError, match="engine: he"):
+        pc2r.C2Ray_Test(pfile2, 8, use_gpu=True)
+
+    # end-to-end effect: secondaries ionize H beyond the primary front
+    N = 12
+    results = {}
+    for sec in (0, 1):
+        pf = str(tmp_path / f"sec{sec}.yml")
+        with open(pf, "w") as f:
+            f.write(params.replace("secondary_ionization: 1",
+                                   f"secondary_ionization: {sec}"))
+        sim = pc2r.C2Ray_Test(pf, N, use_gpu=True)
+        assert sim.secondary_ionization == bool(sec)
+        sim.ndens = 1e-3 * np.ones((N, N, N))
+        srcpos = np.array([[N // 2], [N // 2], [N // 2]], dtype=float)
+        srcflux = np.array([20.0])
+        zreds = sim.generate_redshift_array(2, 1e6)
+        dt = sim.set_timestep(zreds[0], zreds[1], 2)
+        sim.evolve3D(dt, srcflux, srcpos)
+        results[sec] = np.asarray(sim.xh).reshape(N, N, N)
+    assert np.all(np.isfinite(results[1]))
+    # more total ionization with the secondary channel on
+    assert results[1].sum() > results[0].sum()
