@@ -28,12 +28,17 @@ def main():
         bins = make_spectral_bins_he(bb, panels_per_band=panels, nodes=nodes)
         eng = HeRaytracer(N, R, bins, 0.074, batch_size=16, use_pallas=True,
                           accumulate="auto")
-        out = eng.trace(nd, xh, y1, y2, pos, flux, 6.7e22)
+        # production path: pre-packed sources + device fields, like the
+        # evolve loops (trace() would re-pay 0.4 s host packing per call)
+        pb, fb = eng.prepare_sources(pos, flux)
+        args = [jnp.asarray(a) for a in (nd, xh, y1, y2)]
+        drd = jnp.asarray(6.7e22, jnp.float32)
+        out = eng.trace_batches(*args, pb, fb, drd)
         _ = float(jnp.sum(out[0]))
         best = 1e9
         for _ in range(3):
             t0 = time.time()
-            out = eng.trace(nd, xh, y1, y2, pos, flux, 6.7e22)
+            out = eng.trace_batches(*args, pb, fb, drd)
             s = [float(jnp.sum(o)) for o in out]
             best = min(best, time.time() - t0)
         sums[(panels, nodes)] = s

@@ -1,5 +1,6 @@
 """Per-op device profile of the He trace at the small-box config."""
 import glob, os, sys, time
+sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
