@@ -220,12 +220,9 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
     if thermal is not None and not getattr(raytracer, "do_heating", False):
         raise ValueError("thermal evolution requires HeRaytracer("
                          "do_heating=True) (Photo.compute_heating_rates)")
-    secondary = bool(getattr(phe, "secondary", False))
-    if secondary and not getattr(raytracer, "do_heating", False):
-        raise ValueError(
-            "secondary ionizations require HeRaytracer(do_heating=True) "
-            "(Photo.compute_heating_rates: the heat channel carries the "
-            "photoelectron energy being redistributed)")
+    from .ops.chemistry_he import secondary_enabled
+    secondary = secondary_enabled(phe, getattr(raytracer, "do_heating",
+                                               False))
     state = {"xh_av": xh_d, "y1_av": y1_d, "y2_av": y2_d,
              "xh_int": xh_d, "y1_int": y1_d, "y2_int": y2_d,
              "g": (None,) * 3}
@@ -274,13 +271,10 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
            np.asarray(g[1]).reshape(sh3), np.asarray(g[2]).reshape(sh3))
     if thermal is not None:
         from .ops.thermal import update_temperature
-        heat_rate = g[3].reshape(-1)
-        if secondary:
-            # energy split, not double count: the chemistry consumed
-            # f_ion of the deposition; only f_heat(x) thermalizes
-            from .ops.chemistry_he import secondary_heating_fraction
-            heat_rate = heat_rate * secondary_heating_fraction(
-                state["xh_av"].reshape(-1))
+        from .ops.chemistry_he import thermal_heat_rate
+        heat_rate = thermal_heat_rate(phe, g[3].reshape(-1),
+                                      state["xh_av"].reshape(-1),
+                                      secondary)
         temp_new = update_temperature(
             dt_d, temp_d.reshape(-1), ndens_d.reshape(-1),
             state["xh_av"].reshape(-1), heat_rate, thermal,

@@ -427,6 +427,13 @@ class C2RaySimulation:
             # default) | verner (Verner et al. 1996 analytic fits)
             cs_model = str(ld["Raytracing"].get("cross_sections",
                                                 "powerlaw"))
+            if cs_model == "verner" and float(self.cs_pl_idx_h) != 2.8:
+                raise ValueError(
+                    "BlackBodySource.cross_section_pl_index = "
+                    f"{self.cs_pl_idx_h!r} conflicts with Raytracing."
+                    "cross_sections: verner — the Verner fits fix the "
+                    "frequency dependence and would silently ignore the "
+                    "configured slope; drop one of the two settings")
             bins = make_spectral_bins_he(
                 BlackBodySource(self.bb_Teff, self.grey,
                                 ev2fr * self.eth0, self.cs_pl_idx_h),

@@ -62,7 +62,8 @@ from .chemistry import (ChemistryParams, doric, MIN_FRACTIONAL_CHANGE,
 
 __all__ = ["HeChemistryParams", "he_update", "global_pass_he",
            "secondary_ionization_fractions",
-           "secondary_heating_fraction"]
+           "secondary_heating_fraction", "secondary_enabled",
+           "thermal_heat_rate"]
 
 # ionization thresholds in erg (E = h nu_th)
 _ETH_ERG = tuple(hplanck * ev2fr * e for e in HE_EDGES_EV)
@@ -92,6 +93,30 @@ def secondary_heating_fraction(x):
     ionizations are on (energy split, not double count)."""
     xc = jnp.clip(x, 0.0, 1.0)
     return 0.9971 * (1.0 - (1.0 - xc ** 0.2663) ** 1.3163)
+
+
+def secondary_enabled(phe, do_heating):
+    """One shared gate for every evolve path: True iff secondary
+    ionizations are configured; raises if they are configured without
+    the heat channel that carries the energy being redistributed."""
+    sec = bool(getattr(phe, "secondary", False))
+    if sec and not do_heating:
+        raise ValueError(
+            "secondary ionizations require HeRaytracer(do_heating=True) "
+            "(Photo.compute_heating_rates: the heat channel carries the "
+            "photoelectron energy being redistributed)")
+    return sec
+
+
+def thermal_heat_rate(phe, heat, xh_av, secondary):
+    """The heat rate the THERMAL solver should consume: the raytracer's
+    channel, scaled by f_heat(x) when the chemistry consumed f_ion of
+    the same deposition (energy split, not double count). One shared
+    implementation so the single-device / source-parallel / domain
+    paths cannot diverge."""
+    if not secondary:
+        return heat
+    return heat * secondary_heating_fraction(xh_av)
 
 
 class HeChemistryParams(NamedTuple):

@@ -809,10 +809,8 @@ def evolve3D_he_domain(dt, dr, src_flux, src_pos,
     if thermal is not None and not heating:
         raise ValueError("thermal evolution requires HeRaytracer("
                          "do_heating=True)")
-    secondary = bool(getattr(phe, "secondary", False))
-    if secondary and not heating:
-        raise ValueError("secondary ionizations require HeRaytracer("
-                         "do_heating=True)")
+    from ..ops.chemistry_he import secondary_enabled
+    secondary = secondary_enabled(phe, heating)
 
     printlog(f"Calling evolve3D_he over domain mesh "
              f"{decomp.pi}x{decomp.pj}x{decomp.pk} on {num_src:n} "
@@ -849,12 +847,10 @@ def evolve3D_he_domain(dt, dr, src_flux, src_pos,
     out = (out3(state["xh_int"]), out3(g[0]), out3(state["y1_int"]),
            out3(state["y2_int"]), out3(g[1]), out3(g[2]))
     if thermal is not None:
+        from ..ops.chemistry_he import thermal_heat_rate
         tstep = decomp.make_thermal_step(thermal, zred=float(zred))
-        heat_rate = g[3]
-        if secondary:
-            from ..ops.chemistry_he import secondary_heating_fraction
-            heat_rate = heat_rate * secondary_heating_fraction(
-                state["xh_av"])
+        heat_rate = thermal_heat_rate(phe, g[3], state["xh_av"],
+                                      secondary)
         temp_new = tstep(jnp.asarray(dt, dtype), temp_d, ndens_d,
                          state["xh_av"], heat_rate)
         out = out + (out3(temp_new),)

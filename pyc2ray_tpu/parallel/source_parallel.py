@@ -327,10 +327,8 @@ def evolve3D_he_sharded(dt, dr, src_flux, src_pos, raytracer, mesh, phe,
     if thermal is not None and not heating:
         raise ValueError("thermal evolution requires HeRaytracer("
                          "do_heating=True)")
-    secondary = bool(getattr(phe, "secondary", False))
-    if secondary and not heating:
-        raise ValueError("secondary ionizations require HeRaytracer("
-                         "do_heating=True)")
+    from ..ops.chemistry_he import secondary_enabled
+    secondary = secondary_enabled(phe, heating)
     ng = 10 if heating else 9
 
     printlog(f"Calling evolve3D_he over mesh "
@@ -366,11 +364,10 @@ def evolve3D_he_sharded(dt, dr, src_flux, src_pos, raytracer, mesh, phe,
            o3(state["y2_int"]), o3(g[1]), o3(g[2]))
     if thermal is not None:
         from ..ops.thermal import update_temperature
-        heat_rate = jnp.asarray(g[3]).reshape(-1)
-        if secondary:
-            from ..ops.chemistry_he import secondary_heating_fraction
-            heat_rate = heat_rate * secondary_heating_fraction(
-                state["xh_av"].reshape(-1))
+        from ..ops.chemistry_he import thermal_heat_rate
+        heat_rate = thermal_heat_rate(phe, jnp.asarray(g[3]).reshape(-1),
+                                      state["xh_av"].reshape(-1),
+                                      secondary)
         temp_new = update_temperature(
             jnp.asarray(dt, dtype), temp_d.reshape(-1),
             ndens_d.reshape(-1), state["xh_av"].reshape(-1),

@@ -5,11 +5,14 @@ HeRaytracer._rates_he (raytrace_he.py:132-149) —
 
     acc_s = dcol_s * sum_e w_e se[s,e] exp(-tau_in_e) (-expm1(-dtau_e)) / dtau_e
 
-over a 3D grid of per-species ingoing columns (tau_th spanning 1e-6..1e4
-per species) and slab thicknesses, plus the heating integrals. The
-reference config is panels_per_band=16, nodes=16 (768 bins). Worst-case
-relative error is taken where the dense rate is non-negligible
-(> 1e-12 of the unattenuated rate), same criterion as bins_acc.py.
+over random per-species ingoing columns (threshold tau spanning
+1e-6..1e4 per species) and slab thicknesses, plus the heating
+integrals. The reference config is panels_per_band=16, nodes=16
+(768 bins). Worst-case relative error is taken where the dense rate is
+non-negligible: > 1e-12 of the LARGEST reference rate of that species
+over the sample (rates below that are zero photons in practice — the
+same negligible-rate philosophy as bins_acc.py, expressed per species
+because the three channels span different magnitudes).
 """
 import sys; sys.path.insert(0, "/root/repo")
 import numpy as np
@@ -54,9 +57,7 @@ def main():
     bb = BlackBodySource(5e4, False, fmin, 2.8)
     ref = make_spectral_bins_he(bb, panels_per_band=16, nodes=16)
     Ar, Hr = rates(ref, cdin, dcol)
-    # negligible-rate floor: 1e-12 of the unattenuated per-species rate
-    A0, H0 = rates(ref, np.zeros((1, 3)), dcol)
-    floorA = 1e-12 * np.max(A0, axis=0, keepdims=True) * (dcol / np.max(dcol, 0))
+    # negligible-rate mask: > 1e-12 of the species' largest sampled rate
     mA = Ar > 1e-12 * np.max(Ar, axis=0, keepdims=True)
     mH = Hr > 1e-12 * np.max(Hr, axis=0, keepdims=True)
 
@@ -66,8 +67,6 @@ def main():
         A, H = rates(b, cdin, dcol)
         eA = np.max(np.abs(A[mA] / Ar[mA] - 1))
         eH = np.max(np.abs(H[mH] / Hr[mH] - 1))
-        # photon-conservation check: total absorbed photons, summed over
-        # species, on thick slabs (dtau >> 1) must match the band integral
         print(f"panels={p} nodes={n} bins={3*p*n:3d}  "
               f"relerr photo={eA:.2e} heat={eH:.2e}")
 
