@@ -182,7 +182,7 @@ def evolve3D(dt, dr, src_flux, src_pos, raytracer,
 def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
                 temp, ndens, xh, y1, y2, convergence_fraction=1e-4,
                 logfile=None, quiet=False, max_iterations=100,
-                thermal=None, zred=0.0):
+                thermal=None, zred=0.0, loss_fraction=None):
     """Coupled H+He evolve loop (beyond reference: helium is declared
     TODO there, README.md:81-87).
 
@@ -261,7 +261,7 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
 
     run_convergence_loop(iteration, num_cells, num_src,
                          convergence_fraction, max_iterations,
-                         logfile, quiet)
+                         logfile, quiet, loss_fraction=loss_fraction)
 
     g = state["g"]
     out = (np.asarray(state["xh_int"]).reshape(sh3),

@@ -117,7 +117,8 @@ class C2RaySimulation:
         if getattr(self, "multi_species", False):
             common = dict(convergence_fraction=self.convergence_fraction,
                           logfile=self.logfile, quiet=False,
-                          thermal=self.thermal, zred=self.zred)
+                          thermal=self.thermal, zred=self.zred,
+                          loss_fraction=self.loss_fraction)
             if self.mesh is not None and "di" in self.mesh.axis_names:
                 from ..parallel.domain import (DomainDecomposition,
                                                evolve3D_he_domain)
@@ -145,14 +146,14 @@ class C2RaySimulation:
             if self.thermal is not None:
                 self.temp = out[6]
             return
-        if self.mesh is not None and getattr(self.raytracer,
-                                             "needs_flux_bucketing", False):
+        if (self.mesh is not None and "di" in self.mesh.axis_names
+                and getattr(self.raytracer, "needs_flux_bucketing", False)):
             raise NotImplementedError(
-                "Raytracing.engine: adaptive is a single-device engine "
-                "(flux buckets of fixed-radius sub-engines; bucketing "
-                "across shards would fragment the per-device batches — "
-                "docs/PARITY.md capability matrix). Under a mesh use "
-                "engine: cheb or pallas.")
+                "Raytracing.engine: adaptive supports the source-parallel "
+                "(\"src\",\"space\") mesh (bucket-major sharding) but not "
+                "the (\"di\",\"dj\",\"dk\") domain mesh — owner-local "
+                "bucketing is not built. Use a source mesh, or engine: "
+                "pallas under the domain mesh.")
         if self.mesh is not None and "di" not in self.mesh.axis_names \
                 and not hasattr(self.raytracer, "shard_trace"):
             raise NotImplementedError(
@@ -169,7 +170,8 @@ class C2RaySimulation:
                 self.temp, self.ndens, self.xh,
                 convergence_fraction=self.convergence_fraction,
                 logfile=self.logfile, quiet=False,
-                thermal=self.thermal, zred=self.zred)
+                thermal=self.thermal, zred=self.zred,
+                loss_fraction=self.loss_fraction)
             if self.thermal is not None:
                 self.xh, self.phi_ion, self.temp = out
             else:
@@ -181,7 +183,8 @@ class C2RaySimulation:
                 self.chem, self.temp, self.ndens, self.xh,
                 convergence_fraction=self.convergence_fraction,
                 logfile=self.logfile, quiet=False,
-                thermal=self.thermal, zred=self.zred)
+                thermal=self.thermal, zred=self.zred,
+                loss_fraction=self.loss_fraction)
             if self.thermal is not None:
                 self.xh, self.phi_ion, self.temp = out
             else:
@@ -400,6 +403,26 @@ class C2RaySimulation:
                 f"pallas with flux-bucketed per-source radii; he = "
                 f"three-species H+He; box = octahedral sheet-batched "
                 f"formulation)")
+        # The reference's CPU subbox knobs (parameters.yml Raytracing:
+        # subboxsize/max_subbox; raytracing.f90:183-226) map onto the
+        # adaptive bucket policy: subboxsize -> minimum bucket radius,
+        # max_subbox -> radius cap (both clamped to R_max_LLS, like the
+        # reference clamps the subbox to the grid). They only act when
+        # the USER sets them — and only the adaptive engine consumes
+        # them, exactly as only the reference's CPU raytracer does (its
+        # ASORA/GPU path ignores them, evolve.py:154). On any other
+        # engine a user-set value is announced as unused, not silent.
+        user_subbox = ({"subboxsize", "max_subbox"}
+                       & set(self._user_keys.get("Raytracing", ())))
+        if user_subbox and engine != "adaptive":
+            self.printlog(
+                f"NOTE: Raytracing.{'/'.join(sorted(user_subbox))} "
+                f"configure the reference's CPU subbox machinery; here "
+                f"only Raytracing.engine: adaptive consumes them "
+                f"(subboxsize -> minimum bucket radius, max_subbox -> "
+                f"radius cap). engine: {engine} traces every source at "
+                f"R_max_LLS and ignores them — matching the reference's "
+                f"own GPU path.")
         self.multi_species = (engine == "he")
         if self.secondary_ionization and engine != "he":
             raise ValueError(
@@ -503,10 +526,20 @@ class C2RaySimulation:
                 from ..ops.adaptive import AdaptiveRaytracer
                 safety = float(ld["Raytracing"].get("adaptive_safety", 2.0))
                 radii = ld["Raytracing"].get("adaptive_radii", None)
+                # user-set subbox keys steer the bucket policy (cells):
+                # subboxsize = smallest per-source radius, max_subbox =
+                # hard radius cap; both clamp to R_max_LLS the way the
+                # reference clamps its subbox to the grid (a subboxsize
+                # beyond the cap degrades to a single full-radius bucket)
+                r_cap = float(self.R_max_LLS)
+                if "max_subbox" in user_subbox:
+                    r_cap = min(r_cap, float(self.max_subbox))
+                r_min = (min(float(self.subboxsize), r_cap)
+                         if "subboxsize" in user_subbox else 4.0)
                 self.raytracer = AdaptiveRaytracer(
-                    self.N, float(self.R_max_LLS), float(self.sig), bins,
+                    self.N, r_cap, float(self.sig), bins,
                     radii=radii, batch_size=batch, dtype=dtype,
-                    use_pallas=True, safety=safety,
+                    use_pallas=True, safety=safety, R_min=r_min,
                     do_heating=self.compute_heating_rates,
                     accumulate=accumulate, window_size=window_size)
                 self.printlog(
@@ -601,6 +634,12 @@ class C2RaySimulation:
             list("-+0123456789."))
         with open(paramfile, "r") as f:
             self._ld = yaml.load(f, loader)
+        # remember which keys the USER set before the defaults layer fills
+        # the rest: some reference keys (subboxsize/max_subbox) are only
+        # meaningful when explicitly configured and must not act — or
+        # warn — at their defaulted values
+        self._user_keys = {sec: frozenset(self._ld.get(sec) or ())
+                           for sec in _DEFAULTS}
         for section, defaults in _DEFAULTS.items():
             sec = self._ld.setdefault(section, {})
             for key, val in defaults.items():

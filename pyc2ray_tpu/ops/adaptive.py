@@ -180,6 +180,33 @@ class AdaptiveRaytracer:
                 if self.do_heating else None
         return phi, heat
 
+    # -- multi-chip (bucket-major) API ---------------------------------
+    @property
+    def tables(self):
+        """Per-bucket engine tables as one pytree (flows through the
+        jit/shard_map signature like a single engine's ChebTables)."""
+        return tuple(eng.tables for eng in self.engines)
+
+    def shard_trace(self, tb, nd_flat, xh_flat, pos_b, flux_b, dr):
+        """Per-shard bucket-MAJOR trace body for shard_map.
+
+        ``pos_b``/``flux_b`` are per-bucket tuples staged by
+        parallel.source_parallel.prepare_sources_sharded: every bucket is
+        padded to a whole number of batches per device (zero-flux
+        padding), so all devices sweep the SAME radius bucket in lockstep
+        — per-device batches never fragment across radii, which is what
+        made naive source sharding of the adaptive engine lose its
+        batching (docs/PARITY.md, round-3 capability hole). The caller
+        psums the returned local Gamma over the mesh axes."""
+        phi = None
+        heat = None
+        for eng, tbk, pk, fk in zip(self.engines, tb, pos_b, flux_b):
+            p, h = eng.shard_trace(tbk, nd_flat, xh_flat, pk, fk, dr)
+            phi = p if phi is None else phi + p
+            if self.do_heating:
+                heat = h if heat is None else heat + h
+        return phi, heat
+
     def trace(self, ndens, xh_av, src_pos, src_flux, dr, avg_dens=None,
               stats=False):
         """Public API: Gamma over all buckets; optionally bucket stats.

@@ -617,7 +617,8 @@ class DomainDecomposition:
         spec = self._spec()
         sspec = self._src_spec()
         heating = eng.do_heating
-        secondary = bool(getattr(phe, "secondary", False)) and heating
+        from ..ops.chemistry_he import secondary_enabled
+        secondary = secondary_enabled(phe, heating)
         names = self._axis_names
         have = [s is not None for s in srcs[0::2]]
         src_specs = tuple(sspec for s in srcs if s is not None)
@@ -699,7 +700,8 @@ class DomainDecomposition:
 def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
                     chem: ChemistryParams, temp, ndens, xh,
                     convergence_fraction=1e-4, logfile=None, quiet=False,
-                    max_iterations=100, thermal=None, zred=0.0):
+                    max_iterations=100, thermal=None, zred=0.0,
+                    loss_fraction=None):
     """Domain-decomposed evolve3D: the convergence loop of the reference's
     evolve3D_MPI (evolve.py:249) with halo exchange instead of replicated
     Reduce+Bcast, and chemistry shard-local. With ``thermal`` the
@@ -759,7 +761,7 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
 
     run_convergence_loop(iteration, num_cells, num_src,
                          convergence_fraction, max_iterations,
-                         logfile, quiet)
+                         logfile, quiet, loss_fraction=loss_fraction)
 
     def out3(arr):
         return np.asarray(decomp.strip_global(arr)).reshape(sh3)
@@ -777,7 +779,7 @@ def evolve3D_he_domain(dt, dr, src_flux, src_pos,
                        decomp: DomainDecomposition, phe, temp, ndens,
                        xh, y1, y2, convergence_fraction=1e-4,
                        logfile=None, quiet=False, max_iterations=100,
-                       thermal=None, zred=0.0):
+                       thermal=None, zred=0.0, loss_fraction=None):
     """Domain-decomposed coupled H+He evolve loop (engine =
     ops.raytrace_he.HeRaytracer bound to the decomposition). Same
     convergence semantics as evolve.evolve3D_he; the three absorber
@@ -838,7 +840,7 @@ def evolve3D_he_domain(dt, dr, src_flux, src_pos,
 
     run_convergence_loop(iteration, num_cells, num_src,
                          convergence_fraction, max_iterations,
-                         logfile, quiet)
+                         logfile, quiet, loss_fraction=loss_fraction)
 
     def out3(arr):
         return np.asarray(decomp.strip_global(arr)).reshape(sh3)

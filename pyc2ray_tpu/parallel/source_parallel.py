@@ -31,7 +31,66 @@ __all__ = ["trace_sharded", "global_pass_sharded", "evolve3D_sharded",
            "evolve3D_he_sharded", "prepare_sources_sharded"]
 
 
-def prepare_sources_sharded(raytracer: Raytracer, mesh, src_pos, src_flux):
+def _pad_batches_to_devices(pos, flx, n_dev, B):
+    """Pad (nb, B, ...) batch arrays to a multiple of n_dev batches.
+    Padding batches repeat the last positions with zero flux (swept but
+    contributing nothing), mirroring the remainder handling of the
+    reference's per-rank split (evolve.py:361-371) without the imbalance
+    of giving the remainder to the last rank."""
+    nb = pos.shape[0]
+    nbp = -(-nb // n_dev) * n_dev
+    if nbp > nb:
+        pos = np.concatenate(
+            [pos, np.repeat(pos[-1:], nbp - nb, axis=0)], axis=0)
+        flx = np.concatenate(
+            [flx, np.zeros((nbp - nb, B), flx.dtype)], axis=0)
+    return pos, flx
+
+
+def _prepare_adaptive_sharded(raytracer, mesh, src_pos, src_flux, dr,
+                              avg_dens):
+    """Bucket-major staging for the adaptive engine under a source mesh.
+
+    Sources are bucketed by the Stromgren policy exactly as on one
+    device, then EVERY bucket's batches are padded to a whole number per
+    device — all devices process the same radius bucket in lockstep with
+    that bucket's batches sharded, so per-device batches never mix radii
+    (they would need different geometries) and never fragment. An empty
+    bucket stages one zero-flux batch per device: its sweep cost is one
+    batch, and keeping the structure static avoids re-tracing the jitted
+    step when bucket occupancy changes between timesteps.
+    """
+    from ..ops.raytrace_cheb import PackedPositions
+    if dr is None or avg_dens is None:
+        raise ValueError(
+            "adaptive engine staging needs dr and avg_dens (the mean of "
+            "the traced density grid) for the Stromgren bucketing policy")
+    n_dev = mesh.devices.size
+    src_pos = np.asarray(src_pos)
+    src_flux = np.asarray(src_flux)
+    buckets = raytracer.assign_buckets(src_flux, float(dr), float(avg_dens))
+    pos_t, flux_t = [], []
+    for k, eng in enumerate(raytracer.engines):
+        B = eng.batch_size
+        sel = np.nonzero(buckets == k)[0]
+        if sel.size:
+            pb, fb = eng.prepare_sources(src_pos[sel], src_flux[sel])
+            packed = isinstance(pb, PackedPositions)
+            pos = np.asarray(pb.pos if packed else pb)
+            flx = np.asarray(fb)
+        else:
+            packed = eng.accumulate == "window"
+            pos = np.zeros((1, B, 3), np.int32)
+            flx = np.zeros((1, B), np.float64)
+        pos, flx = _pad_batches_to_devices(pos, flx, n_dev, B)
+        pos_j = jnp.asarray(pos)
+        pos_t.append(PackedPositions(pos_j) if packed else pos_j)
+        flux_t.append(jnp.asarray(flx, dtype=eng.dtype))
+    return tuple(pos_t), tuple(flux_t)
+
+
+def prepare_sources_sharded(raytracer: Raytracer, mesh, src_pos, src_flux,
+                            dr=None, avg_dens=None):
     """Pad sources so batches divide evenly over all mesh devices.
 
     Padding sources have zero flux (contribute nothing), mirroring the
@@ -42,7 +101,14 @@ def prepare_sources_sharded(raytracer: Raytracer, mesh, src_pos, src_flux):
     batches (ChebRaytracer._prepare_sources_packed) padded to a multiple
     of the device count with zero-flux dummy batches, so every shard
     runs the one-RMW-per-batch fast path on its slice.
+
+    The adaptive engine returns per-bucket tuples (bucket-major: all
+    devices sweep the same radius bucket in lockstep); it requires
+    ``dr`` and ``avg_dens`` for the Stromgren bucketing policy.
     """
+    if getattr(raytracer, "needs_flux_bucketing", False):
+        return _prepare_adaptive_sharded(raytracer, mesh, src_pos,
+                                         src_flux, dr, avg_dens)
     # hydrogen engines carry (batch_size, dtype) on .config; the helium
     # engine exposes them directly
     cfg = getattr(raytracer, "config", raytracer)
@@ -52,15 +118,8 @@ def prepare_sources_sharded(raytracer: Raytracer, mesh, src_pos, src_flux):
         from ..ops.raytrace_cheb import PackedPositions
         pb, fb = raytracer.prepare_sources(src_pos, src_flux)
         if isinstance(pb, PackedPositions):   # not the sparse fallback
-            pos = np.asarray(pb.pos)
-            flx = np.asarray(fb)
-            nb = pos.shape[0]
-            nbp = -(-nb // n_dev) * n_dev
-            if nbp > nb:
-                pos = np.concatenate(
-                    [pos, np.repeat(pos[-1:], nbp - nb, axis=0)], axis=0)
-                flx = np.concatenate(
-                    [flx, np.zeros((nbp - nb, B), flx.dtype)], axis=0)
+            pos, flx = _pad_batches_to_devices(
+                np.asarray(pb.pos), np.asarray(fb), n_dev, B)
             return (PackedPositions(jnp.asarray(pos)),
                     jnp.asarray(flx, dtype=cfg.dtype))
     ns = src_flux.shape[0]
@@ -136,8 +195,9 @@ def trace_sharded(raytracer: Raytracer, mesh, ndens, xh_av, src_pos,
     cfg = raytracer.config
     nd = jnp.asarray(np.asarray(ndens), dtype=cfg.dtype).reshape(-1)
     xh = jnp.asarray(np.asarray(xh_av), dtype=cfg.dtype).reshape(-1)
-    pos_b, flux_b = prepare_sources_sharded(raytracer, mesh, src_pos,
-                                            src_flux)
+    pos_b, flux_b = prepare_sources_sharded(
+        raytracer, mesh, src_pos, src_flux,
+        dr=float(dr), avg_dens=float(jnp.mean(nd)))
     axes = ("src", "space")
 
     @partial(shard_map, mesh=mesh,
@@ -170,7 +230,8 @@ def global_pass_sharded(mesh, dt, ndens, temp, xh, xh_av, phi_ion,
 def evolve3D_sharded(dt, dr, src_flux, src_pos, raytracer: Raytracer,
                      mesh, chem: ChemistryParams, temp, ndens, xh,
                      convergence_fraction=1e-4, logfile=None, quiet=False,
-                     max_iterations=100, thermal=None, zred=0.0):
+                     max_iterations=100, thermal=None, zred=0.0,
+                     loss_fraction=None):
     """Multi-chip evolve3D: the reference's evolve3D_MPI (evolve.py:249)
     with mesh sharding instead of MPI. Same convergence semantics as the
     single-chip path. With ``thermal`` (requires a heating engine) the
@@ -185,8 +246,9 @@ def evolve3D_sharded(dt, dr, src_flux, src_pos, raytracer: Raytracer,
     temp_d = jnp.asarray(np.asarray(temp), dtype=dtype).reshape(-1)
     ndens_d = jnp.asarray(np.asarray(ndens), dtype=dtype).reshape(-1)
     xh_d = jnp.asarray(np.asarray(xh), dtype=dtype).reshape(-1)
-    pos_b, flux_b = prepare_sources_sharded(raytracer, mesh, src_pos,
-                                            src_flux)
+    pos_b, flux_b = prepare_sources_sharded(
+        raytracer, mesh, src_pos, src_flux,
+        dr=float(dr), avg_dens=float(jnp.mean(ndens_d)))
     step = make_sharded_step(raytracer, mesh, chem)
     emitted = float(np.sum(np.asarray(src_flux, dtype=np.float64))) \
         * S_STAR_REF
@@ -226,7 +288,7 @@ def evolve3D_sharded(dt, dr, src_flux, src_pos, raytracer: Raytracer,
 
     run_convergence_loop(iteration, num_cells, num_src,
                          convergence_fraction, max_iterations,
-                         logfile, quiet)
+                         logfile, quiet, loss_fraction=loss_fraction)
 
     shape3 = (N, N, N)
     if thermal is not None:
@@ -250,10 +312,10 @@ def make_sharded_step_he(raytracer, mesh, phe):
     ops.raytrace_he.HeRaytracer): each device sweeps its source shard of
     all three absorber fields (replicated), one psum per rate field, and
     the coupled H+He chemistry runs cell-sharded."""
-    from ..ops.chemistry_he import global_pass_he
+    from ..ops.chemistry_he import global_pass_he, secondary_enabled
     axes = ("src", "space")
     heating = raytracer.do_heating
-    secondary = bool(getattr(phe, "secondary", False)) and heating
+    secondary = secondary_enabled(phe, heating)
     n_g = 4 if heating else 3
 
     @partial(shard_map, mesh=mesh,
@@ -306,7 +368,7 @@ def evolve3D_he_sharded(dt, dr, src_flux, src_pos, raytracer, mesh, phe,
                         temp, ndens, xh, y1, y2,
                         convergence_fraction=1e-4, logfile=None,
                         quiet=False, max_iterations=100, thermal=None,
-                        zred=0.0):
+                        zred=0.0, loss_fraction=None):
     """Source-parallel coupled H+He evolve loop: the reference's MPI
     source split (evolve.py:361-371) applied to the three-species
     engine. Returns (xh, phi_HI, y1, y2, phi_HeI, phi_HeII[, temp])."""
@@ -356,7 +418,7 @@ def evolve3D_he_sharded(dt, dr, src_flux, src_pos, raytracer, mesh, phe,
 
     run_convergence_loop(iteration, num_cells, num_src,
                          convergence_fraction, max_iterations,
-                         logfile, quiet)
+                         logfile, quiet, loss_fraction=loss_fraction)
 
     g = state["g"]
     o3 = lambda a: np.asarray(a).reshape(sh3)

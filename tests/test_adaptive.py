@@ -95,17 +95,10 @@ def test_mixed_catalog_additivity():
     assert sum(st["bucket_counts"]) == 6
 
 
-def test_adaptive_under_mesh_raises_clearly(tmp_path):
-    """engine: adaptive + a mesh must raise an actionable error, not an
-    AttributeError from a missing shard_trace."""
+def _mk_adaptive_sim(tmp_path, mesh):
     import os
-    import jax
-    import pytest
-    if len(jax.devices()) < 2:
-        pytest.skip("needs multiple devices")
     import pyc2ray_tpu as pc2r
-    from pyc2ray_tpu.parallel import make_mesh
-
+    os.makedirs(tmp_path, exist_ok=True)
     src = os.path.join(os.path.dirname(__file__), "..", "examples",
                        "single_source_test", "parameters.yml")
     params = open(src).read().replace("NumTau: 2000", "NumTau: 200")
@@ -116,8 +109,87 @@ def test_adaptive_under_mesh_raises_clearly(tmp_path):
     pfile = str(tmp_path / "p.yml")
     open(pfile, "w").write(params)
     N = 8
-    sim = pc2r.C2Ray_Test(pfile, N, use_gpu=True, mesh=make_mesh())
+    sim = pc2r.C2Ray_Test(pfile, N, use_gpu=True, mesh=mesh)
     sim.ndens = 1e-3 * np.ones((N, N, N))
-    with pytest.raises(NotImplementedError, match="single-device engine"):
+    return sim
+
+
+def test_adaptive_model_source_mesh_matches_single(tmp_path):
+    """engine: adaptive under the ("src","space") mesh (bucket-major
+    sharding) must reproduce the single-device evolve exactly — the
+    production EoR configuration is no longer single-chip."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from pyc2ray_tpu.parallel import make_mesh
+
+    dt = 1e13
+    flux = np.ones(3)
+    pos = np.array([[4.0, 2.0, 7.0], [4.0, 6.0, 1.0], [4.0, 3.0, 5.0]])
+    sim_s = _mk_adaptive_sim(tmp_path / "single", None)
+    sim_s.evolve3D(dt, flux, pos)
+    sim_p = _mk_adaptive_sim(tmp_path / "mesh",
+                             make_mesh(n_src=4, n_space=2))
+    sim_p.evolve3D(dt, flux, pos)
+    np.testing.assert_allclose(np.asarray(sim_p.xh),
+                               np.asarray(sim_s.xh), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(sim_p.phi_ion),
+                               np.asarray(sim_s.phi_ion), rtol=1e-11)
+
+
+def test_adaptive_under_domain_mesh_raises_clearly(tmp_path):
+    """engine: adaptive + the domain mesh must raise an actionable
+    error (owner-local bucketing is not built), not an AttributeError."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from pyc2ray_tpu.parallel import make_domain_mesh
+
+    sim = _mk_adaptive_sim(tmp_path, make_domain_mesh(2, 2, 2))
+    with pytest.raises(NotImplementedError, match="domain mesh"):
         sim.evolve3D(1e13, np.ones(1),
                      np.array([[4.0], [4.0], [4.0]]))
+
+
+def test_subbox_keys_steer_bucket_policy(tmp_path):
+    """Raytracing.subboxsize / max_subbox (the reference's CPU subbox
+    knobs, raytracing.f90:183-226) are consumed by the adaptive engine:
+    subboxsize -> minimum bucket radius, max_subbox -> radius cap, both
+    clamped to R_max_LLS (round-3 gap: the keys were read and never
+    consumed)."""
+    import os
+    import pyc2ray_tpu as pc2r
+
+    src = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "single_source_test", "parameters.yml")
+    base = open(src).read().replace("NumTau: 2000", "NumTau: 200")
+    base = base.replace("dtype: float64",
+                        "dtype: float64\n  engine: adaptive")
+
+    def mk(params, sub):
+        d = tmp_path / sub
+        os.makedirs(d, exist_ok=True)
+        params = params.replace("results_basename: ./results/",
+                                f"results_basename: {d}/")
+        pfile = str(d / "p.yml")
+        open(pfile, "w").write(params)
+        return pc2r.C2Ray_Test(pfile, 8, use_gpu=True)
+
+    # the example ships subboxsize: 150 >> R_max -> clamped: a single
+    # full-radius bucket (the reference's subbox covering the whole grid)
+    sim = mk(base, "shipped")
+    assert len(sim.raytracer.radii) == 1
+    assert sim.raytracer.radii[0] == min(float(sim.R_max_LLS), 8.0)
+
+    # a small user subboxsize floors the bucket ladder
+    sim2 = mk(base.replace("subboxsize: 150", "subboxsize: 2"), "floor")
+    assert len(sim2.raytracer.radii) > 1
+    assert min(sim2.raytracer.radii) >= 2.0
+    assert sim2.raytracer.R_min == 2.0
+
+    # max_subbox caps the largest bucket radius below R_max_LLS
+    sim3 = mk(base.replace("subboxsize: 150", "subboxsize: 2")
+              .replace("max_subbox: 1000", "max_subbox: 6"), "cap")
+    assert max(sim3.raytracer.radii) <= 6.0
