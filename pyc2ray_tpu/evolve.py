@@ -25,7 +25,7 @@ from .evolve_loop import IterationResult, force, run_convergence_loop
 from .ops.chemistry import ChemistryParams, global_pass
 from .utils.logutils import printlog
 
-__all__ = ["evolve3D", "evolve3D_he", "EvolveResult"]
+__all__ = ["evolve3D", "evolve3D_he"]
 
 
 def _absorbed_rate(phi_ion, ndens, xh_av):
@@ -281,10 +281,3 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
             z=float(zred))
         out = out + (np.asarray(temp_new).reshape(sh3),)
     return out
-
-
-class EvolveResult:
-    """Small container mirroring the reference's (xh, phi_ion) pair."""
-    def __init__(self, xh, phi_ion):
-        self.xh = xh
-        self.phi_ion = phi_ion

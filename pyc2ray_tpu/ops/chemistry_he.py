@@ -47,6 +47,16 @@ consumer of the heat channel must then multiply it by f_heat(x)
 (``secondary_heating_fraction``) so energy is not double-counted.
 On-the-spot He->H photon recycling remains NOT modeled (documented
 scope).
+
+Two documented scope limits of the secondary-ionization channel:
+(1) when the 1e12/s cap on the per-HeI-atom rate engages (only in the
+unphysical regime where rate*dt has long since saturated full
+ionization), the clipped energy is dropped rather than redirected to
+heat — energy is not conserved under the cap; (2) the SvS fractions
+are asymptotic (valid for photoelectrons above ~100 eV) and are applied
+band-wide, so soft SEDs (low-Teff blackbodies whose photoelectrons
+carry only a few eV) overestimate secondary ionization; an
+energy-dependent ramp (Ricotti et al. 2002) is not implemented.
 """
 
 from functools import partial

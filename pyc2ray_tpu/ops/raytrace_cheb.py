@@ -159,7 +159,11 @@ class ChebRaytracer:
         if window_size is not None:
             W = int(window_size)
         else:
-            W = max(64, 2 * g.Dc)
+            # span = 32 cells beyond the box: fill stays ~0.96 at the
+            # R=10/1e5-source probe while the W^3-scaling placement
+            # einsums shrink (W=56: 3.96 vs W=64: 4.15 vs W=48: 4.87
+            # ns/cell — at W-Dc=24 the fill collapses to 0.75)
+            W = -(-(g.Dc + 32) // 8) * 8
         W = min(W, pad_full)
         W = max(W, g.Dc)
         if accumulate == "auto":
@@ -172,6 +176,14 @@ class ChebRaytracer:
                 else "scan"
         self.accumulate = accumulate
         self.window_W = W
+        # One-hot placement/extraction einsum precision. One operand of
+        # every product is an exact 0.0/1.0, so 3-pass bf16 (HIGH) is
+        # f32-faithful: the one-hot splits as (b,0,0) and all dropped
+        # cross terms are exactly zero; only the value operand's third
+        # split piece can be dropped, a <= 2^-24 relative perturbation.
+        # Measured vs HIGHEST on v5e: same checksums. Kept as an
+        # attribute so experiments can flip it.
+        self._oh_precision = lax.Precision.HIGH
         # Rates subbox: every rated cell (Euclidean dist <= R) lies in
         # the central (2 ceil(R)+1)^3 cube, which is strictly smaller
         # than the sublane-aligned sweep box Dc (17^3 of 24^3 at R=8 —
@@ -820,7 +832,7 @@ class ChebRaytracer:
         error <= ~1.2e-38 per cell — only deep-attenuation cells with
         physically negligible rates are affected; TPU hardware flushes
         denormals everywhere anyway)."""
-        hp = lax.Precision.HIGHEST
+        hp = self._oh_precision
         t = jnp.einsum("sabc,scw->sabw", boxes, oh[2], precision=hp)
         t = jnp.einsum("sabw,sbv->savw", t, oh[1], precision=hp)
         return jnp.einsum("savw,sau->uvw", t, oh[0], precision=hp)
@@ -830,7 +842,7 @@ class ChebRaytracer:
         transpose of _place_boxes, on the MXU. Each output element is
         exactly one window value times 1.0, so the extraction is exact
         (modulo f32 denormal flushing)."""
-        hp = lax.Precision.HIGHEST
+        hp = self._oh_precision
         t = jnp.einsum("sau,uvw->savw", oh[0], win, precision=hp)
         t = jnp.einsum("sbv,savw->sabw", oh[1], t, precision=hp)
         return jnp.einsum("scw,sabw->sabc", oh[2], t, precision=hp)
@@ -857,15 +869,13 @@ class ChebRaytracer:
         W = self.window_for_ext(nhi_pad.shape) if packed else None
         use_window = W is not None
 
-        def batch_step(b, carry):
+        def batch_step(carry, xs):
+            # lax.scan over batches: the per-batch (pos, flux) arrive as
+            # scan xs (double-buffered by XLA) instead of per-iteration
+            # dynamic_slice of the full batch arrays, which showed up in
+            # profiles as ~58 us/batch of s32 index-staging copies.
             phi_pad, heat_pad = carry
-            z32 = jnp.zeros((), jnp.int32)
-            pos = lax.dynamic_slice(
-                pos_b, (b.astype(jnp.int32), z32, z32),
-                (1,) + pos_b.shape[1:])[0]
-            flux = lax.dynamic_slice(
-                flux_b, (b.astype(jnp.int32), z32),
-                (1,) + flux_b.shape[1:])[0]
+            pos, flux = xs
             if use_window:
                 hi = jnp.asarray([s - W for s in nhi_pad.shape], jnp.int32)
                 origin = jnp.clip(jnp.min(pos, axis=0), 0, hi)
@@ -915,7 +925,7 @@ class ChebRaytracer:
                 return phi_pad, heat_pad
 
             if not use_window:
-                return scan_accum(phi_pad, heat_pad)
+                return scan_accum(phi_pad, heat_pad), None
 
             # window accumulate: one (W,W,W) RMW pair per BATCH instead
             # of per source, with the in-window placement on the MXU.
@@ -931,10 +941,10 @@ class ChebRaytracer:
                 curh = lax.dynamic_slice(heat_pad, o3, (W,) * 3)
                 heat_pad = lax.dynamic_update_slice(
                     heat_pad, curh + winh, o3)
-            return phi_pad, heat_pad
+            return (phi_pad, heat_pad), None
 
-        phi_pad, heat_pad = lax.fori_loop(
-            0, pos_b.shape[0], batch_step, (phi_pad0, heat_pad0))
+        (phi_pad, heat_pad), _ = lax.scan(
+            batch_step, (phi_pad0, heat_pad0), (pos_b, flux_b))
         return phi_pad, (heat_pad if self.do_heating else None)
 
     def _trace_impl(self, tb, ndens3, xh3, pos_b, flux_b, dr):

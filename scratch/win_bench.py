@@ -24,6 +24,8 @@ ap.add_argument("--reps", type=int, default=3)
 ap.add_argument("--bins", type=int, default=4, help="panels (x8 nodes)")
 ap.add_argument("--modes", default="scan:8,window:32,window:64,window:128")
 ap.add_argument("--W", type=int, default=None)
+ap.add_argument("--compress", type=float, default=0.0,
+                help="compress dense bins to this rel target (0 = off)")
 args = ap.parse_args()
 
 SIG = 6.30e-18
@@ -37,7 +39,15 @@ dr = 6.7e22
 
 fmin = 3.288e15
 src = BlackBodySource(5e4, False, fmin, 2.8)
-bins = make_spectral_bins(src, fmin, 10 * fmin * 4, panels=args.bins, nodes=8)
+if args.compress > 0:
+    from pyc2ray_tpu.radiation.bins_compress import compress_bins
+    dense = make_spectral_bins(src, fmin, 10 * fmin * 4, panels=48, nodes=16)
+    t0 = time.time()
+    bins = compress_bins(dense, target_rel=args.compress)
+    print(f"compressed bins: K={bins.num_bins} (fit {time.time()-t0:.0f}s)")
+else:
+    bins = make_spectral_bins(src, fmin, 10 * fmin * 4,
+                              panels=args.bins, nodes=8)
 
 nd_d = jnp.asarray(nd.ravel())
 xh_d = jnp.asarray(xh.ravel())
