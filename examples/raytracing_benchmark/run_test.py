@@ -33,10 +33,17 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--dtype", default="float32")
     parser.add_argument("--engine", default="cheb",
-                        choices=["cheb", "pallas", "flat"])
+                        choices=["cheb", "pallas", "flat", "he"],
+                        help="he = the three-species (H+He) engine "
+                             "(beyond reference; 72-bin 3-band default)")
     parser.add_argument("--sed", default="grey", choices=["grey", "bb"],
-                        help="grey analytic bins or the production 32-bin "
+                        help="grey analytic bins or the production "
                              "black-body quadrature (bench.py config)")
+    parser.add_argument("--compress", type=float, default=-1.0,
+                        help="sum-of-exponentials bin compression target "
+                             "(radiation/bins_compress). Default: 1e-3 "
+                             "for --sed bb (the production default), "
+                             "off for grey/he; 0 disables")
     parser.add_argument("-o", default="timings.pkl")
     parser.add_argument("--json", default=None,
                         help="also write results as JSON to this path")
@@ -58,26 +65,56 @@ def main():
     xh = jnp.asarray(1.2e-3 * np.ones(N ** 3), dtype)
     dr = jnp.asarray(6.7e20, dtype)
 
-    if args.sed == "bb":
+    comp = args.compress
+    if comp < 0:
+        comp = 1e-3 if (args.sed == "bb" and args.engine != "he") else 0.0
+    if args.engine == "he":
+        from pyc2ray_tpu.radiation import BlackBodySource
+        from pyc2ray_tpu.radiation.helium import make_spectral_bins_he
+        from pyc2ray_tpu.constants import ev2fr
+        bins = make_spectral_bins_he(
+            BlackBodySource(5e4, False, ev2fr * 13.598, 2.8))
+    elif args.sed == "bb":
         from pyc2ray_tpu.radiation import BlackBodySource
         from pyc2ray_tpu.radiation.spectral_bins import make_spectral_bins
         from pyc2ray_tpu.constants import ev2fr
         fmin, fmax = ev2fr * 13.598, 10 * ev2fr * 54.416
-        bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
-                                  fmin, fmax, panels=4, nodes=8)
+        if comp > 0:
+            from pyc2ray_tpu.radiation.bins_compress import compress_bins
+            dense = make_spectral_bins(
+                BlackBodySource(5e4, False, fmin, 2.8), fmin, fmax,
+                panels=48, nodes=16)
+            bins = compress_bins(dense, target_rel=comp)
+        else:
+            bins = make_spectral_bins(
+                BlackBodySource(5e4, False, fmin, 2.8), fmin, fmax,
+                panels=4, nodes=8)
     else:
         bins = grey_bins()
 
     results = {"N": N, "batch_size": args.batch, "nreps": args.reps,
                "ASORA": "pyc2ray-tpu", "engine": args.engine,
-               "sed": args.sed, "timings": {}}
+               "sed": args.sed, "num_bins": int(bins.num_bins),
+               "compress": comp, "timings": {}}
     def sync(x):
         # block_until_ready is unreliable on the axon TPU relay; force
         # completion through a value dependency
         return float(jnp.ravel(x)[0])
 
+    he = args.engine == "he"
+    if he:
+        from pyc2ray_tpu.ops.raytrace_he import HeRaytracer
+        sh3 = (N,) * 3
+        nd3 = ndens.reshape(sh3)
+        xh3 = xh.reshape(sh3)
+        y13 = jnp.full(sh3, 1e-3, dtype)
+        y23 = jnp.zeros(sh3, dtype)
+
     for R in args.R:
-        if args.engine in ("cheb", "pallas"):
+        if he:
+            rt = HeRaytracer(N, R, bins, 0.074, batch_size=args.batch,
+                             dtype=dtype, use_pallas=True)
+        elif args.engine in ("cheb", "pallas"):
             rt = ChebRaytracer(N, R, 6.30e-18, bins,
                                batch_size=args.batch, dtype=dtype,
                                use_pallas=(args.engine == "pallas"))
@@ -86,23 +123,32 @@ def main():
                                  batch_size=args.batch, dtype=dtype,
                                  grey_analytic=True)
             rt = Raytracer(cfg)
+
+        def call(pos_b, flux_b):
+            if he:
+                return rt.trace_batches(nd3, xh3, y13, y23,
+                                        pos_b, flux_b, dr)[0]
+            return rt.trace_batches(ndens, xh, pos_b, flux_b, dr)[0]
+
         for ns in args.numsrc:
             pos_b, flux_b = rt.prepare_sources(
                 rng.randint(0, N, size=(ns, 3)), np.ones(ns))
-            # warmup/compile
-            phi, _ = rt.trace_batches(ndens, xh, pos_b, flux_b, dr)
-            sync(phi)
+            t0 = time.time()
+            sync(call(pos_b, flux_b))           # warmup/compile
+            t_compile = time.time() - t0
             ts = []
             for _ in range(args.reps):
                 t0 = time.time()
-                phi, _ = rt.trace_batches(ndens, xh, pos_b, flux_b, dr)
-                sync(phi)
+                sync(call(pos_b, flux_b))
                 ts.append(time.time() - t0)
             t = min(ts)
             norm = t / (ns * 4.0 / 3.0 * np.pi * R ** 3)
-            results["timings"][(R, ns)] = {"t": t, "ns_per_cell": 1e9 * norm}
+            results["timings"][(R, ns)] = {
+                "t": t, "ns_per_cell": 1e9 * norm, "batch": args.batch,
+                "compile_s": round(t_compile, 1)}
             print(f"R={R:6.1f} Ns={ns:7d}: {t:8.3f} s  "
-                  f"{1e9*norm:8.3f} ns/cell-update", flush=True)
+                  f"{1e9*norm:8.3f} ns/cell-update  "
+                  f"(compile {t_compile:.0f}s)", flush=True)
             _save(results, args)
     print("sweep complete")
 

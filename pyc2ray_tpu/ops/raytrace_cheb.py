@@ -75,9 +75,16 @@ class ChebTables(NamedTuple):
     path3: object       # (Dc, Dc, Dc)
     dist2: object       # (Dc, Dc, Dc)
     rate_valid: object  # (Dc, Dc, Dc) bool
-    path3_s: object     # (Ds, Ds, Ds) rates-subbox slices, pre-cut:
-    dist2_s: object     # slicing the full tables inside the batch loop
-    rate_valid_s: object  # shows up as un-hoisted per-batch copies
+    rt_sub: object      # (3, Ds, Ds, Ds) rates-subbox tables, pre-cut
+                        # AND stacked: channels (path3, geominv, valid)
+                        # where geominv = 1/(4 pi dist2 path3) with the
+                        # source cell set to 1 and valid folds the
+                        # octahedron/clip mask AND the R_max_LLS cutoff.
+                        # Pre-cut because slicing the full tables inside
+                        # the batch loop shows up as un-hoisted per-batch
+                        # copies; stacked + precombined because every
+                        # separate table array cost its own per-batch
+                        # relayout copy-start in the profile
     rt_tab: object      # (Dc, 2, Dc, Dc) per-plane (dist2, valid) for
                         # the fused fold+rates kernel
     bins_s: object
@@ -162,10 +169,14 @@ class ChebRaytracer:
             # span = 32 cells beyond the box: fill stays ~0.96 at the
             # R=10/1e5-source probe while the W^3-scaling placement
             # einsums shrink (W=56: 3.96 vs W=64: 4.15 vs W=48: 4.87
-            # ns/cell — at W-Dc=24 the fill collapses to 0.75)
+            # ns/cell — at W-Dc=24 the fill collapses to 0.75).
+            # prepare_sources re-tunes this per catalog (_adapt_window):
+            # at 1e6 sources B=32 packs into a ~8-cell span, and every
+            # cell of window width costs W^3-scaling einsum+RMW volume.
             W = -(-(g.Dc + 32) // 8) * 8
         W = min(W, pad_full)
         W = max(W, g.Dc)
+        self._auto_window = window_size is None
         if accumulate == "auto":
             # pays off when the box is small vs the window (per-source
             # placement cost ~ Dc*W^2 words streamed vs the fixed ~40 us
@@ -217,9 +228,7 @@ class ChebRaytracer:
             path3=jnp.asarray(g.path3, dt),
             dist2=jnp.asarray(g.dist2, dt),
             rate_valid=jnp.asarray(g.rate_valid),
-            path3_s=jnp.asarray(g.path3[sub3], dt),
-            dist2_s=jnp.asarray(g.dist2[sub3], dt),
-            rate_valid_s=jnp.asarray(g.rate_valid[sub3]),
+            rt_sub=jnp.asarray(self._build_rt_sub(np_dt), dt),
             rt_tab=jnp.asarray(rt_np),
             bins_s=jnp.asarray(bins.s, dt),
             bins_w=jnp.asarray(bins.w_photo, dt),
@@ -230,7 +239,11 @@ class ChebRaytracer:
     def prepare_sources(self, src_pos, src_flux):
         B = self.batch_size
         if self.accumulate == "window":
-            return self._prepare_sources_packed(src_pos, src_flux)
+            presorted = None
+            if self._auto_window:
+                presorted = self._adapt_window(src_pos)
+            return self._prepare_sources_packed(src_pos, src_flux,
+                                                presorted=presorted)
         ns = src_flux.shape[0]
         nb = -(-ns // B)
         pos = np.zeros((nb * B, 3), dtype=np.int32)
@@ -250,8 +263,88 @@ class ChebRaytracer:
         W = min(self.window_W, min(int(d) for d in dims))
         return W if W - self.geom.Dc >= 8 else None
 
+    @staticmethod
+    def _allowed_runs(p, B):
+        """Rolling bbox spans over the next <= B Morton-ordered sources.
+
+        Returns spans (ns, B) where spans[i, k] is the largest per-axis
+        extent of positions i..i+k (positions past the end repeat the
+        last row, which never grows the span incorrectly because counts
+        are clipped to the remainder by the greedy walk)."""
+        ns = len(p)
+        p32 = np.ascontiguousarray(p, dtype=np.int32)
+        pad = np.concatenate([p32, np.repeat(p32[-1:], B - 1, axis=0)], 0)
+        out = np.empty((ns, B), dtype=np.int32)
+        step = 1 << 17          # chunked: the window view's running
+        for i0 in range(0, ns, step):   # extrema are (rows, 3, B) temps
+            i1 = min(ns, i0 + step)
+            win = np.lib.stride_tricks.sliding_window_view(
+                pad[i0:i1 + B - 1], B, axis=0)
+            hi = np.maximum.accumulate(win, axis=2)
+            lo = np.minimum.accumulate(win, axis=2)
+            out[i0:i1] = (hi - lo).max(axis=1)
+        return out                                        # (ns, B)
+
+    @staticmethod
+    def _greedy_walk(spans, limit, B, ns):
+        """Batch lengths of the greedy span-bounded packing: from i,
+        take min(B, longest prefix with span <= limit, remainder)."""
+        ok = spans <= limit                               # (ns, B)
+        # spans[i, k] covers sources i..i+k; max length = first k with
+        # span over limit. ok[:, 0] is always True (span of one source
+        # is 0), so argmin == 0 means the whole row fits.
+        first_bad = ok.argmin(axis=1)
+        allowed = np.where(ok.all(axis=1), B, first_bad)
+        sizes = []
+        i = 0
+        while i < ns:
+            k = min(int(allowed[i]), ns - i)
+            sizes.append(k)
+            i += k
+        return sizes
+
+    # window-W cost model (v5e-measured shape): per batch, a fixed part
+    # (sweep kernel + rate pass + fold/relayouts ~ 330 us at Dc=24) plus
+    # a window part (placement/extraction einsums + the (W,W,W) RMW)
+    # scaling ~ (W/56)^3 ~ 150 us at W=56. Used only to RANK candidate
+    # windows; both terms are per-batch so only their ratio matters.
+    _WCOST_FIXED = 330.0
+    _WCOST_W56 = 150.0
+
+    def _adapt_window(self, src_pos):
+        """Pick the smallest window that keeps the packing dense.
+
+        The auto default (Dc+32) is tuned for ~1e5-source catalogs; a
+        denser catalog packs full batches into a much smaller span, and
+        every cell of W costs W^3-scaling einsum + RMW volume. Evaluates
+        the real packing (cheap, host-side) for a few candidate spans
+        and keeps the cost-model argmin. Changing W changes traced
+        shapes, so at most one extra compile per (catalog density
+        regime) — cached thereafter."""
+        pos = np.asarray(src_pos, dtype=np.int64).reshape(-1, 3)
+        B = self.batch_size
+        ns = len(pos)
+        if ns < 4 * B:
+            return None
+        g = self.geom
+        pad_full = self.N + g.Dc - 1
+        order = np.argsort(_morton_code(pos), kind="stable")
+        spans = self._allowed_runs(pos[order], B)
+        best = (np.inf, self.window_W)
+        for dW in (8, 16, 24, 32):
+            Wc = min(-(-(g.Dc + dW) // 8) * 8, pad_full)
+            if Wc - g.Dc < 8:
+                continue
+            nb = len(self._greedy_walk(spans, Wc - g.Dc, B, ns))
+            cost = nb * (self._WCOST_FIXED
+                         + self._WCOST_W56 * (Wc / 56.0) ** 3)
+            if cost < best[0]:
+                best = (cost, Wc)
+        self.window_W = best[1]
+        return order, spans
+
     def _prepare_sources_packed(self, src_pos, src_flux, W=None,
-                                allow_fallback=True):
+                                allow_fallback=True, presorted=None):
         """Morton-sorted greedy packing into span-bounded batches.
 
         Every batch's box-start bounding box spans at most W - Dc cells
@@ -268,34 +361,23 @@ class ChebRaytracer:
         if len(pos) == 0:
             return (PackedPositions(jnp.zeros((1, B, 3), jnp.int32)),
                     jnp.zeros((1, B), dtype=self.dtype))
-        order = np.argsort(_morton_code(pos), kind="stable")
-        batches = []
-        cur = []
-        lo = hi = None
-        for idx in order:
-            p = pos[idx]
-            if cur:
-                nlo = np.minimum(lo, p)
-                nhi = np.maximum(hi, p)
-                if len(cur) == B or np.any(nhi - nlo > span):
-                    batches.append(cur)
-                    cur, lo, hi = [], None, None
-                else:
-                    lo, hi = nlo, nhi
-                    cur.append(idx)
-                    continue
-            cur.append(idx)
-            lo = hi = p
-        if cur:
-            batches.append(cur)
-        nb = len(batches)
+        ns = len(pos)
+        if presorted is not None:
+            order, spans = presorted
+            ps = pos[order]
+        else:
+            order = np.argsort(_morton_code(pos), kind="stable")
+            ps = pos[order]
+            spans = self._allowed_runs(ps, B)
+        fs = flx[order]
+        sizes = np.asarray(self._greedy_walk(spans, span, B, ns))
+        nb = len(sizes)
         # Fill guard: padded slots cost a full sweep each, so a sparse
         # catalog (windows holding only a couple of sources) loses more
         # to padding than the one-RMW-per-batch accumulate saves
         # (measured: R=10, 256^3, Ns=1e3 -> fill 0.24, 36 vs 17
         # ns/cell). Fall back to plain scan-path batches there.
         if allow_fallback and len(pos) < 0.5 * nb * B:
-            ns = len(pos)
             nb_plain = -(-ns // B)
             pos_out = np.zeros((nb_plain * B, 3), dtype=np.int32)
             flx_out = np.zeros((nb_plain * B,), dtype=np.float64)
@@ -304,13 +386,17 @@ class ChebRaytracer:
             return (jnp.asarray(pos_out.reshape(nb_plain, B, 3)),
                     jnp.asarray(flx_out.reshape(nb_plain, B),
                                 dtype=self.dtype))
-        pos_out = np.zeros((nb, B, 3), dtype=np.int32)
-        flx_out = np.zeros((nb, B), dtype=np.float64)
-        for i, bidx in enumerate(batches):
-            k = len(bidx)
-            pos_out[i, :k] = pos[bidx]
-            flx_out[i, :k] = flx[bidx]
-            pos_out[i, k:] = pos[bidx].min(axis=0)
+        # vectorized batch materialization: sorted sources are already
+        # consecutive per batch, so gather rows by start + offset and
+        # mask padding slots (position = batch bbox minimum, flux = 0)
+        starts = np.concatenate([[0], np.cumsum(sizes[:-1])])
+        ar = np.arange(B)[None, :]
+        valid = ar < sizes[:, None]
+        idx = np.minimum(starts[:, None] + ar, ns - 1)
+        bmin = np.minimum.reduceat(ps, starts, axis=0)    # (nb, 3)
+        pos_out = np.where(valid[..., None], ps[idx],
+                           bmin[:, None, :]).astype(np.int32)
+        flx_out = np.where(valid, fs[idx], 0.0)
         got_span = pos_out.max(axis=1) - pos_out.min(axis=1)
         assert got_span.max() <= span, \
             "internal: packed batch exceeds the window span"
@@ -379,7 +465,14 @@ class ChebRaytracer:
 
         Pure static assembly (no per-shell loop): shell r's minus face is
         box plane c-r and its plus face c+r, so the whole stack maps to a
-        contiguous plane range via one flip + transpose per sign."""
+        contiguous plane range via one flip + transpose per sign.
+
+        (Negative result, kept for the record: expressing the fold as
+        one-hot MATMULS over the shell axis — "rbjk,ri->bijk" per sign
+        per face, flips absorbed into the one-hot — is exact but SLOWER
+        on v5e: 4.10 vs 3.90 ns/cell at the R=10/1e5-source probe. The
+        ~76 us/batch of layout copies around this assembly are cheaper
+        than the 6 tiny-contraction einsums that replace them.)"""
         g = self.geom
         dt = self.dtype
         B = src_cd.shape[0]
@@ -706,6 +799,23 @@ class ChebRaytracer:
         X, Y, Z = lax.fori_loop(1, R1, body, (X0, Y0, Z0))
         return self._fold_stacks(X, Y, Z, src_cd)
 
+    def _build_rt_sub(self, np_dt):
+        """Host-side build of the stacked rates-subbox tables (see
+        ChebTables.rt_sub): everything static in the rate pass —
+        geometry factors and the full validity mask — is folded here so
+        the per-batch fusion touches ONE constant array."""
+        g = self.geom
+        sub3 = (slice(self._rb0, self._rb1),) * 3
+        path3 = np.asarray(g.path3[sub3], np.float64)
+        dist2 = np.asarray(g.dist2[sub3], np.float64)
+        valid = (np.asarray(g.rate_valid[sub3])
+                 & (dist2 <= float(self.R_max_LLS) ** 2))
+        cs = g.c - self._rb0
+        with np.errstate(divide="ignore"):
+            geominv = 1.0 / (dist2 * path3 * FOURPI)
+        geominv[cs, cs, cs] = 1.0     # source cell: vol = dr^3, tau_in=0
+        return np.stack([path3, geominv, valid]).astype(np_dt)
+
     # ------------------------------------------------------------------
     def _rates(self, tb, cd, nhi_box, flux, dr):
         """Dense spectral-bin rate pass over the central rates SUBBOX.
@@ -716,32 +826,22 @@ class ChebRaytracer:
         shrinking the domain is a direct win over masking). Returns
         (phi, heat) of shape (B, Ds, Ds, Ds); callers accumulate them at
         box position + rb0."""
-        g = self.geom
         dt = self.dtype
         sig = jnp.asarray(self.sig, dt)
-        b0, b1, Ds = self._rb0, self._rb1, self.Ds
+        b0, b1 = self._rb0, self._rb1
         sub = (slice(None), slice(b0, b1), slice(b0, b1), slice(b0, b1))
         cd = cd[sub]
         nhi_box = nhi_box[sub]
-        path3 = tb.path3_s
-        dist2 = tb.dist2_s
+        path3 = tb.rt_sub[0]
+        geominv = tb.rt_sub[1]
         dcol = nhi_box * (path3[None] * dr)
         cdin = cd - dcol
         tau_in = cdin * sig
         dtau = dcol * sig
 
-        cs = g.c - b0
-        i3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 0)
-        j3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 1)
-        k3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 2)
-        is_src = ((i3 == cs) & (j3 == cs) & (k3 == cs))[None]
-
         s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
                              - 3.0 * jnp.log(dr))
-        geom_fact = jnp.where(
-            is_src, 1.0,
-            1.0 / (dist2[None] * path3[None] * FOURPI))
-        prefact = flux[:, None, None, None] * s_over_dr3 * geom_fact
+        prefact = flux[:, None, None, None] * s_over_dr3 * geominv[None]
 
         acc = jnp.zeros_like(cd)
         acc_h = jnp.zeros_like(cd) if self.do_heating else None
@@ -752,10 +852,8 @@ class ChebRaytracer:
             if self.do_heating:
                 acc_h = acc_h + tb.bins_wh[e] * core
 
-        R2 = jnp.asarray(self.R_max_LLS ** 2, dt)
-        mask = (tb.rate_valid_s[None]
-                & (cdin <= jnp.asarray(MAX_COLDENSH, dt))
-                & (dist2[None] <= R2))
+        mask = ((tb.rt_sub[2] > 0.5)[None]
+                & (cdin <= jnp.asarray(MAX_COLDENSH, dt)))
         # Guard the photon-conserving division: a zero-density cell
         # absorbs nothing (acc = 0), so Gamma-per-atom is 0, not 0/0.
         # The floor is the smallest normal float — a no-op for any

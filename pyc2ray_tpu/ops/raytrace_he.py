@@ -103,23 +103,16 @@ class HeRaytracer:
         sub = (slice(None),) + (slice(b0, b1),) * 3
         cds = [c[sub] for c in cds]
         nboxes = [n[sub] for n in nboxes]
-        path3 = tb.path3_s
-        dist2 = tb.dist2_s
+        path3 = tb.rt_sub[0]
+        geominv = tb.rt_sub[1]
         path = path3[None] * dr
 
         dcol = [nboxes[s] * path for s in range(3)]
         cdin = [cds[s] - dcol[s] for s in range(3)]
 
-        cs = g.c - b0
-        i3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 0)
-        j3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 1)
-        k3 = lax.broadcasted_iota(jnp.int32, (Ds,) * 3, 2)
-        is_src = ((i3 == cs) & (j3 == cs) & (k3 == cs))[None]
         s_over_dr3 = jnp.exp(jnp.asarray(np.log(S_STAR_REF), dt)
                              - 3.0 * jnp.log(dr))
-        geom_fact = jnp.where(
-            is_src, 1.0, 1.0 / (dist2[None] * path3[None] * FOURPI))
-        prefact = flux[:, None, None, None] * s_over_dr3 * geom_fact
+        prefact = flux[:, None, None, None] * s_over_dr3 * geominv[None]
 
         tiny = jnp.asarray(1e-30 if dt == jnp.float32 else 1e-280, dt)
         # Tensor form over bins (the unrolled 96-bin x 3-species python
@@ -148,10 +141,8 @@ class HeRaytracer:
                             precision=hp)
             acc_heat = jnp.sum(Dm * wh, axis=1).reshape(sh4)
 
-        R2 = jnp.asarray(self.eng.R_max_LLS ** 2, dt)
-        mask = (tb.rate_valid_s[None]
-                & (cdin[0] <= jnp.asarray(MAX_COLDENSH, dt))
-                & (dist2[None] <= R2))
+        mask = ((tb.rt_sub[2] > 0.5)[None]
+                & (cdin[0] <= jnp.asarray(MAX_COLDENSH, dt)))
         out = []
         for s in range(3):
             gam = prefact * acc[s] / jnp.maximum(nboxes[s], tiny)
