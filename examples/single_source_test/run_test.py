@@ -29,7 +29,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# x64 is required by the table-exact flat engine (f64 tables); the
+# production cheb/pallas variants run float32 and global x64 would
+# promote Mosaic index/shift scalars to i64, which the TPU kernel
+# compiler rejects
+_eng = None
+for _i, _a in enumerate(sys.argv):
+    if _a == "--engine" and _i + 1 < len(sys.argv):
+        _eng = sys.argv[_i + 1]
+    elif _a.startswith("--engine="):
+        _eng = _a.split("=", 1)[1]
+if _eng in (None, "flat"):
+    jax.config.update("jax_enable_x64", True)
 
 import pyc2ray_tpu as pc2r
 from pyc2ray_tpu.oracle import oracle_chemistry_global
@@ -43,12 +54,38 @@ parser.add_argument("--full", action="store_true",
                     help="run the full 128^3 configuration")
 parser.add_argument("--numreds", type=int, default=2)
 parser.add_argument("--steps", type=int, default=10)
+parser.add_argument("--engine", default=None,
+                    choices=["flat", "cheb", "pallas"],
+                    help="override Raytracing.engine. flat (default) is "
+                    "the table-exact f64 path judged against the golden "
+                    "2e-5 tolerances; cheb/pallas are the production "
+                    "f32 spectral-bin path judged against the documented "
+                    "bins-vs-table budget (README accuracy hierarchy)")
 args = parser.parse_args()
 
 N = 128 if args.full else args.N
 num_steps_between_slices = args.steps
 numzred = args.numreds
 paramfile = os.path.join(os.path.dirname(__file__), "parameters.yml")
+if args.engine:
+    import re
+    import tempfile
+    txt = open(paramfile).read()
+    if re.search(r"^\s*engine:", txt, re.M):
+        txt = re.sub(r"^(\s*)engine:.*$", rf"\1engine: {args.engine}",
+                     txt, flags=re.M)
+    else:
+        txt = txt.replace("Raytracing:",
+                          f"Raytracing:\n  engine: {args.engine}", 1)
+    if args.engine != "flat":
+        # production engines run float32 (the Mosaic kernel path); the
+        # comparison budget below accounts for it
+        txt = re.sub(r"^(\s*)dtype:.*$", r"\1dtype: float32",
+                     txt, flags=re.M)
+    tmp = tempfile.NamedTemporaryFile("w", suffix=".yml", delete=False)
+    tmp.write(txt)
+    tmp.close()
+    paramfile = tmp.name
 
 os.makedirs("./results", exist_ok=True)
 sim = pc2r.C2Ray_Test(paramfile, N, use_gpu=True)
@@ -136,16 +173,41 @@ print(f"Mean ionized fraction (oracle): {xh_oracle.mean():.12e}")
 print(f"Mean ionized fraction (TPU):    {xfrac_tpu.mean():.12e}")
 
 nfail = 0
-checks = [
-    ("Absolute mean", abserr.mean(), 1e-8),
-    ("Absolute std", abserr.std(), 3e-7),
-    ("Absolute max", abserr.max(), 5e-6),
-    ("Absolute min", abserr.min(), 5e-6),
-    ("Relative mean", relerr.mean(), 1e-7),
-    ("Relative std", relerr.std(), 3e-6),
-    ("Relative max", relerr.max(), 2e-5),
-    ("Relative min", relerr.min(), 2e-5),
-]
+if args.engine in ("cheb", "pallas"):
+    # The production engines evaluate the exact band integral via
+    # spectral bins (f32); the oracle interpolates the NumTau=2000
+    # log-linear TABLE (f64). Their difference is dominated by the
+    # ORACLE TABLE's own interpolation error (the bins are measured
+    # ~5x closer to the dense band integral than the table —
+    # docs/TPU_PERFORMANCE_NOTES), concentrated in the most neutral
+    # cells where relative errors are largest. This variant therefore
+    # certifies the production engine against an explicit
+    # BINS-VS-TABLE budget (measured r04 hardware values ~x3 headroom:
+    # docs/GOLDEN_TPU_128_PALLAS_r04.log), not the golden 2e-5 table
+    # tolerances, which only a table-exact engine can meaningfully
+    # meet. Its role is production-engine regression detection.
+    print(f"(engine {args.engine}: bins-vs-table budget tolerances)")
+    checks = [
+        ("Absolute mean", abserr.mean(), 5e-5),
+        ("Absolute std", abserr.std(), 3e-5),
+        ("Absolute max", abserr.max(), 4e-4),
+        ("Absolute min", abserr.min(), 3e-5),
+        ("Relative mean", relerr.mean(), 3e-2),
+        ("Relative std", relerr.std(), 1.5e-2),
+        ("Relative max", relerr.max(), 5e-2),
+        ("Relative min", relerr.min(), 1e-3),
+    ]
+else:
+    checks = [
+        ("Absolute mean", abserr.mean(), 1e-8),
+        ("Absolute std", abserr.std(), 3e-7),
+        ("Absolute max", abserr.max(), 5e-6),
+        ("Absolute min", abserr.min(), 5e-6),
+        ("Relative mean", relerr.mean(), 1e-7),
+        ("Relative std", relerr.std(), 3e-6),
+        ("Relative max", relerr.max(), 2e-5),
+        ("Relative min", relerr.min(), 2e-5),
+    ]
 for name, val, tol in checks:
     ok = abs(val) <= tol
     print(f"{name:16s}: {val: .7e}   {'PASSED' if ok else 'FAILED'}")

@@ -242,7 +242,9 @@ def evolve3D_he(dt, dr, src_flux, src_pos, raytracer, phe,
             dt_d, ndens_d, temp_d, xh_d, xh_av_seen,
             y1_d, state["y1_av"], y2_d, state["y2_av"],
             g[0], g[1], g[2], phe,
-            heat=g[3] if secondary else None)
+            heat=g[3] if secondary else None,
+            recombination_photons=bool(
+                getattr(phe, "recombination_photons", False)))
         sum1 = jnp.sum(xh_int)
         sum0 = jnp.sum(1.0 - xh_int)
         absorbed = _absorbed_rate_he_jit(

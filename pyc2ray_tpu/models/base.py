@@ -45,7 +45,8 @@ __all__ = ["C2RaySimulation"]
 _DEFAULTS = {
     "Grid": {"resume": 0},
     "Photo": {"compute_heating_rates": 0, "grey": 0,
-              "SourceType": "blackbody", "secondary_ionization": 0},
+              "SourceType": "blackbody", "secondary_ionization": 0,
+              "recombination_photons": 0},
     "Raytracing": {"source_batch_size": 8, "convergence_fraction": 1e-4,
                    "loss_fraction": 1e-2, "subboxsize": 150,
                    "max_subbox": 1000, "dtype": "float64",
@@ -351,6 +352,8 @@ class C2RaySimulation:
         self.compute_heating_rates = bool(ld["Photo"]["compute_heating_rates"])
         self.secondary_ionization = bool(
             ld["Photo"]["secondary_ionization"])
+        self.recombination_photons = bool(
+            ld["Photo"]["recombination_photons"])
 
         self.tau, self.dlogtau = make_tau_table(
             self.minlogtau, self.maxlogtau, self.NumTau)
@@ -429,6 +432,12 @@ class C2RaySimulation:
                 "Photo.secondary_ionization: 1 requires Raytracing."
                 "engine: he (the Shull & van Steenberg redistribution "
                 "needs the three-species photoelectron energy channel)")
+        if self.recombination_photons and engine != "he":
+            raise ValueError(
+                "Photo.recombination_photons: 1 requires Raytracing."
+                "engine: he (recycling redistributes HELIUM "
+                "recombination radiation; the hydrogen-only engines "
+                "already assume case-B on-the-spot for H)")
         if engine == "he":
             # helium extension (beyond reference): three-species engine +
             # coupled H/He chemistry; see ops/raytrace_he.py
@@ -482,9 +491,25 @@ class C2RaySimulation:
                     "Photo.compute_heating_rates: 1 (the heat channel "
                     "carries the photoelectron energy being "
                     "redistributed into HI/HeI collisional ionizations)")
+            # OTS recycling cross sections from the SAME cross-section
+            # model the raytracer bins use (powerlaw family honors the
+            # configured HI slope; verner uses the analytic fits)
+            from ..radiation.helium import (cross_section,
+                                            verner_cross_section,
+                                            HE_EDGES_EV)
+            cs = (verner_cross_section if cs_model == "verner"
+                  else lambda nu, s: cross_section(
+                      nu, s, pl=pl[s]))
+            nu_he1 = ev2fr * HE_EDGES_EV[1]
+            nu_lya2 = ev2fr * 40.8
             self.chem_he = HeChemistryParams(
                 chem=self.chem, abu_he=self.abu_he,
-                secondary=self.secondary_ionization)
+                secondary=self.secondary_ionization,
+                recombination_photons=self.recombination_photons,
+                sig_h_he1=float(cs(nu_he1, 0)),
+                sig_he1_he1=float(cs(nu_he1, 1)),
+                sig_h_lya2=float(cs(nu_lya2, 0)),
+                sig_he1_lya2=float(cs(nu_lya2, 1)))
             # He ionization state (xHeII, xHeIII fractions)
             if not hasattr(self, "xhe1"):
                 self.xhe1 = np.full(self.shape, 1e-3)

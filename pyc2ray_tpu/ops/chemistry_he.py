@@ -45,8 +45,10 @@ secondary rate is simply f_ion,H(x) * heat / E_th,HI — density-free —
 and the HeI rate rescales by the HI/HeI number-density ratio. The
 consumer of the heat channel must then multiply it by f_heat(x)
 (``secondary_heating_fraction``) so energy is not double-counted.
-On-the-spot He->H photon recycling remains NOT modeled (documented
-scope).
+On-the-spot recycling of He recombination radiation (opt-in,
+``recombination_photons=True``): case-B HeII/HeIII recombination
+photons redistributed into HI/HeI ionizations with local
+absorption-competition fractions (see global_pass_he docstring).
 
 Two documented scope limits of the secondary-ionization channel:
 (1) when the 1e12/s cap on the per-HeI-atom rate engages (only in the
@@ -144,6 +146,21 @@ class HeChemistryParams(NamedTuple):
     # to scale thermal input by secondary_heating_fraction; it is never
     # branched on inside traced code.
     secondary: bool = False
+    # on-the-spot recycling of He recombination photons (see
+    # global_pass_he docstring). Host-level flag like ``secondary``:
+    # callers forward it as the STATIC recombination_photons kwarg.
+    recombination_photons: bool = False
+    # absorption cross sections entering the on-the-spot redistribution
+    # fractions: (sigma_HI, sigma_HeI) evaluated at the HeI edge
+    # (24.59 eV — where the HeII->HeI recombination continuum sits) and
+    # at 40.8 eV (HeII Ly-alpha, the dominant HeIII->HeII channel).
+    # Defaults from the reference power-law family (sigma0 (nu/nu0)^-s);
+    # models/base recomputes them from the configured cross-section
+    # model so the recycling stays consistent with the raytracer bins.
+    sig_h_he1: float = 1.2e-18     # sigma_HI(24.59 eV)
+    sig_he1_he1: float = 7.43e-18  # sigma_HeI(24.59 eV)
+    sig_h_lya2: float = 2.9e-19    # sigma_HI(40.8 eV)
+    sig_he1_lya2: float = 2.95e-18  # sigma_HeI(40.8 eV)
 
 
 def _expm2(A11, A12, A21, A22, b1, b2, u1, u2, dt):
@@ -258,10 +275,10 @@ def he_update(y1, y2, dt, temp, ne, g_he1, g_he2, p: HeChemistryParams):
     return y1t, y2t, y1a, y2a
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("recombination_photons",))
 def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
                    phi_h, phi_he1, phi_he2, p: HeChemistryParams,
-                   mask=None, heat=None):
+                   mask=None, heat=None, recombination_photons=False):
     """Coupled H+He chemistry pass (elementwise over any shape).
 
     ndens is the HYDROGEN number density; n_He = abu_he * ndens.
@@ -272,14 +289,31 @@ def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
     ionizations (Shull & van Steenberg 1985 fractions at the iterated
     time-averaged x; see module docstring). The caller must then scale
     its own thermal use of the channel by secondary_heating_fraction.
+
+    ``recombination_photons`` (static): on-the-spot recycling of the
+    He recombination radiation. Per iteration, at the current iterated
+    state, the volumetric case-B recombination photon rates
+    rec2 = ne alpha_HeII n_HeII (continuum at the 24.59 eV HeI edge)
+    and rec3 = ne alpha_HeIII n_HeIII (dominantly HeII Ly-alpha at
+    40.8 eV) are redistributed between HI and HeI ionizations with the
+    local absorption-competition fractions
+        y = n_HI sig_HI / (n_HI sig_HI + n_HeI sig_HeI)
+    evaluated at each channel's energy (Osterbrock; the role of the
+    y/z factors of Friedrich et al. 2012's C2Ray-He). Every recycled
+    photon ionizes exactly one atom (y + (1-y) = 1 — photon
+    conserving); where BOTH absorbers vanish the cell is transparent
+    and the on-the-spot photons are dropped (the standard OTS scope
+    limit). Photoheating by the small excess energy of recycled
+    photons is not modeled. Exactly reduces to the plain pass when
+    off (default).
+
     Returns (xh_t, xh_av, y1_t, y1_av, y2_t, y2_av, conv_flag)."""
     chem = p.chem
     nhe = p.abu_he * ndens
     xh_av_entry = xh_av
     dtype = jnp.result_type(xh, temp)
+    tiny = jnp.asarray(1e-30 if dtype == jnp.float32 else 1e-280, dtype)
     if heat is not None:
-        tiny = jnp.asarray(1e-30 if dtype == jnp.float32 else 1e-280,
-                           dtype)
         # volumetric deposition / n_HeI, precomputed outside the loop:
         # E_dep = heat * n_HI; per-HeI-atom = f_HeI E_dep / (Eth n_HeI).
         # Zero where there is no HeI (abu_he=0 or fully ionized He), and
@@ -305,6 +339,32 @@ def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
             f_hi, f_hei = secondary_ionization_fractions(xav)
             ph = phi_h + f_hi * heat / _ETH_ERG[0]
             phe1 = phi_he1 + f_hei * dep_over_nhei / _ETH_ERG[1]
+        if recombination_photons:
+            # on-the-spot recycling at the CURRENT iterated state (the
+            # rates refreeze each outer iteration, like ne)
+            nhi_c = ndens * (1.0 - xav)
+            nhei_c = nhe * (1.0 - y1av - y2av)
+            a2 = p.bhe00 * (temp / 1.0e4) ** p.alhepow * chem.clumping
+            a3 = 2.0 * chem.bh00 * (temp / 4.0e4) ** chem.albpow \
+                * chem.clumping
+            rec2 = ne * a2 * nhe * y1av       # HeII -> HeI photons/vol
+            rec3 = ne * a3 * nhe * y2av       # HeIII -> HeII photons/vol
+            wh = nhi_c * p.sig_h_he1
+            whe = nhei_c * p.sig_he1_he1
+            y_f = wh / jnp.maximum(wh + whe, tiny)
+            wh2 = nhi_c * p.sig_h_lya2
+            whe2 = nhei_c * p.sig_he1_lya2
+            z_f = wh2 / jnp.maximum(wh2 + whe2, tiny)
+            # per-atom rates, capped like the secondary channel (rate*dt
+            # saturates long before 1e12/s; the cap guards the 2x2
+            # eigensolve against overflow at vanishing absorber density)
+            add_h = (y_f * rec2 + z_f * rec3) / jnp.maximum(nhi_c, tiny)
+            add_he = ((1.0 - y_f) * rec2 + (1.0 - z_f) * rec3) \
+                / jnp.maximum(nhei_c, tiny)
+            ph = ph + jnp.minimum(
+                jnp.where(nhi_c > tiny, add_h, 0.0), 1e12)
+            phe1 = phe1 + jnp.minimum(
+                jnp.where(nhei_c > tiny, add_he, 0.0), 1e12)
         xh_new, xh_av_new = doric(xh, dt, temp, ne, ph, chem)
         y1t, y2t, y1a, y2a = he_update(y1, y2, dt, temp, ne,
                                        phe1, phi_he2, p)

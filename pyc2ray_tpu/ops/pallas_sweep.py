@@ -115,16 +115,20 @@ def _plane_ops(Dc, c):
         # pltpu.roll requires non-negative shifts; Dc-1 == roll by -1.
         # Sublane-axis shift; wrap rows are never selected (a=0 takes the
         # a+1 branch, a=Dc-1 the a-1 branch).
-        return jnp.where(a_up, pltpu.roll(P, 1, 1), pltpu.roll(P, Dc - 1, 1))
+        # static python-int shifts so x64 mode cannot promote the shift
+        # operand to i64 (tpu.dynamic_rotate requires i32)
+        return jnp.where(a_up, pltpu.roll(P, np.int32(1), 1),
+                         pltpu.roll(P, np.int32(Dc - 1), 1))
 
     def sb(P):
         # full-lane roll; the half-seam lanes (b=0 of one face reading
         # b=Dc-1 of the other) are never selected for the same reason.
-        return jnp.where(b_up, pltpu.roll(P, 1, 2), pltpu.roll(P, D2 - 1, 2))
+        return jnp.where(b_up, pltpu.roll(P, np.int32(1), 2),
+                         pltpu.roll(P, np.int32(D2 - 1), 2))
 
     def swap(line):
         # (B, 2Dc) line: exchange the sign halves
-        return pltpu.roll(line, Dc, 1)
+        return pltpu.roll(line, np.int32(Dc), 1)
 
     def row_of(P, apos):
         """(B, 2Dc) line of the plane at sublane a = apos."""

@@ -653,7 +653,9 @@ class DomainDecomposition:
                 r(y1_0), r(y1_av), r(y2_0), r(y2_av),
                 r(g[0]), r(g[1]), r(g[2]), phe,
                 mask=None if mask is None else mask.reshape(-1),
-                heat=r(g[3]) if secondary else None)
+                heat=r(g[3]) if secondary else None,
+                recombination_photons=bool(
+                    getattr(phe, "recombination_photons", False)))
             xi3 = xi.reshape(sh)
             w = 1.0 if mask is None else mask.astype(xi.dtype).reshape(sh)
             s1 = lax.psum(jnp.sum(xi3 * w), names)

@@ -344,7 +344,9 @@ def make_sharded_step_he(raytracer, mesh, phe):
             dt, sl(ndens), sl(temp), sl(xh0), sl(xh_av),
             sl(y1_0), sl(y1_av), sl(y2_0), sl(y2_av),
             sl(gs[0]), sl(gs[1]), sl(gs[2]), phe,
-            heat=sl(gs[3]) if secondary else None)
+            heat=sl(gs[3]) if secondary else None,
+            recombination_photons=bool(
+                getattr(phe, "recombination_photons", False)))
         ga = lambda a: jax.lax.all_gather(a, axes, tiled=True).reshape(sh)
         abu = jnp.asarray(phe.abu_he, xi_s.dtype)
         nhe_s = abu * sl(ndens)

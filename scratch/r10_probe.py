@@ -11,6 +11,7 @@ ap.add_argument("--R", type=float, default=10.0)
 ap.add_argument("--ns", type=int, default=100000)
 ap.add_argument("--configs", default="16:0,32:0,48:0")   # B:W (0=auto)
 ap.add_argument("--reps", type=int, default=3)
+ap.add_argument("--target", type=float, default=1e-3)
 args = ap.parse_args()
 N, R, ns = args.N, args.R, args.ns
 rng = np.random.default_rng(42)
@@ -18,7 +19,7 @@ nd = (1.0e-4*(1+0.2*rng.random((N,)*3))).astype(np.float32)
 xh = (1e-4*rng.random((N,)*3)).astype(np.float32)
 pos = rng.integers(0, N, (ns,3)); flux = 10**rng.uniform(0,2,ns)
 fmin=3.288e15; src=BlackBodySource(5e4, False, fmin, 2.8)
-bins = compress_bins(make_spectral_bins(src, fmin, 40*fmin, panels=48, nodes=16), 1e-3)
+bins = compress_bins(make_spectral_bins(src, fmin, 40*fmin, panels=48, nodes=16), args.target)
 print("K =", bins.num_bins, flush=True)
 nd_d, xh_d = jnp.asarray(nd.ravel()), jnp.asarray(xh.ravel())
 dr = jnp.asarray(6.7e22, jnp.float32)

@@ -268,3 +268,108 @@ def test_global_pass_he_secondary_zero_helium():
     for v in out[:6]:
         assert np.all(np.isfinite(np.asarray(v)))
     assert np.all(np.asarray(out[0]) > 0.1)    # H ionized further
+
+
+def test_recombination_photons_rate_identity():
+    """OTS recycling must equal a manual augmentation of the per-atom
+    photoionization rates by (absorption fraction x volumetric case-B
+    recombination photon rate / absorber density), evaluated at the
+    entry state (dt is tiny so the iterated averages stay there), and
+    must be photon-conserving: every recycled photon ionizes exactly
+    one atom, so the total new ionizations (H + He, per volume) added
+    by the switch equal (rec2 + rec3) dt."""
+    sh = (6,)
+    # dt small vs every process timescale (recombination factor
+    # alpha*ne*dt ~ 0.08) so rates stay frozen at the entry state to
+    # first order, but large enough that the recycling-induced change
+    # (~1e-8 in x) is far above f64 resolution of x ~ 0.3
+    dt = 1e12
+    ndens = jnp.full(sh, 1e-3, jnp.float64)
+    temp = jnp.full(sh, 2e4, jnp.float64)
+    x0 = jnp.full(sh, 0.3, jnp.float64)
+    y10 = jnp.full(sh, 0.4, jnp.float64)
+    y20 = jnp.full(sh, 0.3, jnp.float64)
+    zero = jnp.zeros(sh, jnp.float64)
+
+    on = global_pass_he(dt, ndens, temp, x0, x0, y10, y10, y20, y20,
+                        zero, zero, zero, PHE,
+                        recombination_photons=True)
+    off = global_pass_he(dt, ndens, temp, x0, x0, y10, y10, y20, y20,
+                         zero, zero, zero, PHE)
+
+    # manual rates at the entry state
+    nhe = PHE.abu_he * 1e-3
+    ne = 1e-3 * (0.3 + CHEM.abu_c) + nhe * (0.4 + 2 * 0.3)
+    a2 = PHE.bhe00 * (2e4 / 1e4) ** PHE.alhepow
+    a3 = 2.0 * CHEM.bh00 * (2e4 / 4e4) ** CHEM.albpow
+    rec2 = ne * a2 * nhe * 0.4
+    rec3 = ne * a3 * nhe * 0.3
+    nhi = 1e-3 * (1 - 0.3)
+    nhei = nhe * (1 - 0.4 - 0.3)
+    y_f = nhi * PHE.sig_h_he1 / (nhi * PHE.sig_h_he1
+                                 + nhei * PHE.sig_he1_he1)
+    z_f = nhi * PHE.sig_h_lya2 / (nhi * PHE.sig_h_lya2
+                                  + nhei * PHE.sig_he1_lya2)
+    gh = (y_f * rec2 + z_f * rec3) / nhi
+    ghe1 = ((1 - y_f) * rec2 + (1 - z_f) * rec3) / nhei
+    manual = global_pass_he(
+        dt, ndens, temp, x0, x0, y10, y10, y20, y20,
+        jnp.full(sh, gh, jnp.float64), jnp.full(sh, ghe1, jnp.float64),
+        zero, PHE)
+    np.testing.assert_allclose(np.asarray(on[0]), np.asarray(manual[0]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(on[2]), np.asarray(manual[2]),
+                               rtol=1e-4)
+
+    # photon conservation: recycling-added ionizations = (rec2+rec3) dt
+    # to first order in dt
+    def total_ion(res):
+        return (1e-3 * np.asarray(res[0])
+                + nhe * (np.asarray(res[2]) + np.asarray(res[4])))
+    added = total_ion(on) - total_ion(off)
+    np.testing.assert_allclose(added, (rec2 + rec3) * dt, rtol=3e-2)
+
+
+def test_recombination_photons_off_identity():
+    """recombination_photons=False (default) is bit-identical to the
+    plain pass even when the params carry the host-level flag."""
+    sh = (5,)
+    ndens = jnp.full(sh, 1e-3, jnp.float64)
+    temp = jnp.full(sh, 1e4, jnp.float64)
+    x0 = jnp.full(sh, 0.2, jnp.float64)
+    y10 = jnp.full(sh, 0.2, jnp.float64)
+    y20 = jnp.full(sh, 0.1, jnp.float64)
+    zero = jnp.zeros(sh, jnp.float64)
+    p_flag = PHE._replace(recombination_photons=True)
+    a = global_pass_he(1e10, ndens, temp, x0, x0, y10, y10, y20, y20,
+                       zero, zero, zero, p_flag)
+    b = global_pass_he(1e10, ndens, temp, x0, x0, y10, y10, y20, y20,
+                       zero, zero, zero, PHE)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_recycling_fractions_vs_dense_spectrum_integration():
+    """The single-energy absorption-competition fractions are the
+    spectrum-weighted dense-frequency integrals to a few percent: the
+    case-B recombination continuum is only ~kT wide above the edge, so
+    evaluating the competition at the edge is accurate. Integrates
+    p_H(nu) = n_HI sig_H(nu) / (n_HI sig_H + n_HeI sig_He) over
+    phi(nu) ~ exp(-h(nu - nu_th)/kT) with the real frequency-dependent
+    cross sections."""
+    from pyc2ray_tpu.radiation.helium import cross_section, HE_EDGES_EV
+    from pyc2ray_tpu.constants import ev2fr, hplanck
+
+    kT_erg = 1.380649e-16 * 2e4                 # T = 2e4 K
+    nu_th = ev2fr * HE_EDGES_EV[1]
+    nhi, nhei = 1e-3 * 0.7, 1e-3 * 0.074 * 0.3
+    nu = nu_th * (1.0 + np.linspace(0, 8, 4000) * kT_erg
+                  / (hplanck * nu_th))
+    phi_nu = np.exp(-hplanck * (nu - nu_th) / kT_erg)
+    wh = nhi * cross_section(nu, 0)
+    whe = nhei * cross_section(nu, 1)
+    p_h = wh / (wh + whe)
+    y_dense = np.trapezoid(phi_nu * p_h, nu) / np.trapezoid(phi_nu, nu)
+    y_single = nhi * PHE.sig_h_he1 / (nhi * PHE.sig_h_he1
+                                      + nhei * PHE.sig_he1_he1)
+    assert abs(y_single - y_dense) / y_dense < 0.05

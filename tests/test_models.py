@@ -332,3 +332,43 @@ def test_secondary_ionization_through_model(tmp_path):
     assert np.all(np.isfinite(results[1]))
     # more total ionization with the secondary channel on
     assert results[1].sum() > results[0].sum()
+
+
+def test_recombination_photons_through_model(tmp_path):
+    """Photo.recombination_photons through the model API: requires
+    engine he (validated), and boosts total ionization relative to the
+    same run without it (recycled He recombination photons ionize HI
+    and HeI instead of escaping)."""
+    pfile = _setup(tmp_path, "he")
+    params = open(pfile).read().replace(
+        "compute_heating_rates: 0",
+        "compute_heating_rates: 0\n  recombination_photons: 1")
+    assert "recombination_photons: 1" in params
+    pfile2 = str(tmp_path / "p2.yml")
+    with open(pfile2, "w") as f:
+        f.write(params.replace("engine: he", "engine: cheb"))
+    with pytest.raises(ValueError, match="recombination_photons"):
+        pc2r.C2Ray_Test(pfile2, 8, use_gpu=True)
+
+    N = 12
+    results = {}
+    for rp in (0, 1):
+        pf = str(tmp_path / f"rp{rp}.yml")
+        with open(pf, "w") as f:
+            f.write(params.replace("recombination_photons: 1",
+                                   f"recombination_photons: {rp}"))
+        sim = pc2r.C2Ray_Test(pf, N, use_gpu=True)
+        assert sim.recombination_photons == bool(rp)
+        assert sim.chem_he.recombination_photons == bool(rp)
+        sim.ndens = 1e-3 * np.ones((N, N, N))
+        srcpos = np.array([[N // 2], [N // 2], [N // 2]], dtype=float)
+        srcflux = np.array([20.0])
+        zreds = sim.generate_redshift_array(2, 1e6)
+        dt = sim.set_timestep(zreds[0], zreds[1], 2)
+        sim.evolve3D(dt, srcflux, srcpos)
+        results[rp] = (np.asarray(sim.xh).reshape(N, N, N),
+                       np.asarray(sim.xhe1) + np.asarray(sim.xhe2))
+    assert np.all(np.isfinite(results[1][0]))
+    total0 = results[0][0].sum() + 0.074 * results[0][1].sum()
+    total1 = results[1][0].sum() + 0.074 * results[1][1].sum()
+    assert total1 > total0
