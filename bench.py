@@ -59,11 +59,17 @@ def main():
     dtype = jnp.float32
 
     fmin, fmax = ev2fr * 13.598, 10 * ev2fr * 54.416
-    # 4x8 = 32 bins: ~5x more accurate than the reference's NumTau=2000
-    # log-linear rate table (1.5e-3 vs 7.3e-3 worst-case relative error;
-    # docs/TPU_PERFORMANCE_NOTES.md)
-    bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
-                              fmin, fmax, panels=4, nodes=8)
+    # production bins: a dense 768-bin quadrature compressed to a ~14
+    # node sum-of-exponentials at 1e-3 uniform relative error on the
+    # band (F, G) functions (radiation/bins_compress.py) — both ~16x
+    # MORE accurate than the legacy 32-bin default (2.5e-4 vs 4.0e-3 vs
+    # dense; the reference's NumTau=2000 table sits at 7.3e-3) and
+    # ~2.3x fewer exp evaluations in the exp-roofline-bound rate pass,
+    # which dominates at this config (no rates subbox at Dc=64)
+    from pyc2ray_tpu.radiation.bins_compress import compress_bins
+    dense = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
+                               fmin, fmax, panels=48, nodes=16)
+    bins = compress_bins(dense, target_rel=1e-3)
     rt = ChebRaytracer(N, R, 6.30e-18, bins, batch_size=BATCH, dtype=dtype,
                        use_pallas=True)
     chem = ChemistryParams(bh00=2.59e-13, albpow=-0.7,
@@ -115,7 +121,8 @@ def main():
 
     detail = {
         "N": N, "R": R, "num_src": NS, "batch": BATCH, "dtype": "float32",
-        "engine": "pallas chebyshev-face sweep + spectral bins (32)",
+        "engine": f"pallas chebyshev-face sweep + compressed spectral "
+                  f"bins ({bins.num_bins})",
         "t_raytrace_s": round(t_ray, 4), "t_chemistry_s": round(t_chem, 4),
         "compile_s": round(compile_s, 1),
         "ns_per_cell_update_raytrace": round(ns_per_cell_ray, 3),
