@@ -272,9 +272,9 @@ def _kernel(dr_ref, init_ref,
         Xp[...] = init
         Yp[...] = init
         Zp[...] = init
-        xs_ref[...] = init[None]
-        ys_ref[...] = init[None]
-        zs_ref[...] = init[None]
+        xs_ref[...] = init[:, None]
+        ys_ref[...] = init[:, None]
+        zs_ref[...] = init[:, None]
 
     @pl.when(r > 0)
     def _():
@@ -286,7 +286,7 @@ def _kernel(dr_ref, init_ref,
         for (gb, cdin, dcol, mask, new, nhi), out_ref in zip(
                 faces, (xs_ref, ys_ref, zs_ref)):
             if bins is None:
-                out_ref[...] = new[None]
+                out_ref[...] = new[:, None]
                 continue
             # fused spectral-bin rate pass: Gamma (without the per-source
             # flux factor, applied outside) = S*/(dr^3 4 pi d^2 path nHI)
@@ -304,7 +304,7 @@ def _kernel(dr_ref, init_ref,
                                  * 12.566370614359172)
             rmask = mask & (d2 <= R2) & (cdin <= 2.0e30)
             phi = jnp.where(rmask, pref * acc / nhi, 0.0)
-            out_ref[...] = phi[None]
+            out_ref[...] = phi[:, None]
         Xp[...] = faces[0][4]
         Yp[...] = faces[1][4]
         Zp[...] = faces[2][4]
@@ -325,8 +325,11 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
     halves. With bins=None returns column-density stacks; with bins a
     static tuple of (s_e, w_e) pairs, the rate pass is fused and the
     outputs are flux-less Gamma stacks (multiply by the per-source flux
-    outside). Returns (X, Y, Z) stacks of shape (R1, B, Dc, 2*Dc) with
-    the face sign packed in the lane dimension.
+    outside). Returns (X, Y, Z) stacks of shape (B, R1, Dc, 2*Dc) with
+    the face sign packed in the lane dimension — BATCH-LEADING, the
+    layout the fold consumes, so no (R1,B)->(B,R1) transpose copies
+    materialize between the kernel and the fold (measured ~44 us/batch
+    at the R=10 window config).
     """
     dt = nhi_x.dtype
     kern = functools.partial(_kernel, B=B, Dc=Dc, c=c, sig=float(sig),
@@ -341,9 +344,9 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
                             memory_space=pltpu.VMEM)
     g4 = pl.BlockSpec((1, 8, Dc, 2 * Dc), lambda r: (r, 0, 0, 0),
                       memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, B, Dc, 2 * Dc), lambda r: (r, 0, 0, 0),
+    out_spec = pl.BlockSpec((B, 1, Dc, 2 * Dc), lambda r: (0, r, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((R1, B, Dc, 2 * Dc), dt)] * 3
+    out_shape = [jax.ShapeDtypeStruct((B, R1, Dc, 2 * Dc), dt)] * 3
 
     return pl.pallas_call(
         kern,

@@ -460,12 +460,15 @@ class ChebRaytracer:
         return cd.at[:, c, c, c].set(src_cd)
 
     def _fold_stacks_packed(self, X, Y, Z, src_cd):
-        """Fold the lane-packed (R1, B, Dc, 2*Dc) face stacks from the
-        Pallas kernel into the cartesian box (B, Dc, Dc, Dc).
+        """Fold the lane-packed (B, R1, Dc, 2*Dc) BATCH-LEADING face
+        stacks from the Pallas kernel into the cartesian box
+        (B, Dc, Dc, Dc).
 
         Pure static assembly (no per-shell loop): shell r's minus face is
         box plane c-r and its plus face c+r, so the whole stack maps to a
-        contiguous plane range via one flip + transpose per sign.
+        contiguous plane range via one flip per sign — the kernel
+        already emits the stacks batch-leading, so no (R1,B) transpose
+        copies materialize here.
 
         (Negative result, kept for the record: expressing the fold as
         one-hot MATMULS over the shell axis — "rbjk,ri->bijk" per sign
@@ -479,12 +482,12 @@ class ChebRaytracer:
         c, Dc, R1 = g.c, g.Dc, g.r_max + 1
 
         def fold(S):
-            Sm = S[:, :, :, :Dc]      # minus faces (shell-leading)
+            Sm = S[:, :, :, :Dc]      # minus faces (batch-leading)
             Sp = S[:, :, :, Dc:]
             n_dn = min(c, R1 - 1)
             n_up = min(Dc - 1 - c, R1 - 1)
-            dn = jnp.flip(Sm[1:n_dn + 1], 0).transpose(1, 0, 2, 3)
-            up = Sp[1:n_up + 1].transpose(1, 0, 2, 3)
+            dn = jnp.flip(Sm[:, 1:n_dn + 1], 1)
+            up = Sp[:, 1:n_up + 1]
             parts = []
             pad_lo = c - n_dn
             if pad_lo > 0:
