@@ -258,3 +258,67 @@ def test_fuse_fold_kernel_matches():
     big = np.abs(phi_x) > 1e-8 * np.abs(phi_x).max()
     rel = np.abs(phi_f - phi_x)[big] / np.abs(phi_x)[big]
     assert rel.max() < 2e-4
+
+
+def test_adaptive_window_shrinks_for_dense_catalogs():
+    """prepare_sources re-tunes the accumulation window per catalog:
+    a dense catalog packs full batches into a small span, so auto-W
+    must come DOWN from the static Dc+32 default, the packing must
+    honor the chosen span exactly, and the greedy walk must cover
+    every source exactly once."""
+    fmin = 3.288e15
+    bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
+                              fmin, 40 * fmin, panels=2, nodes=4)
+    rng = np.random.default_rng(7)
+    N = 100
+    eng = ChebRaytracer(N, 8.0, SIG, bins, batch_size=32,
+                        accumulate="window")
+    W0 = eng.window_W
+    # dense: ~1 source per 2.7 cells^3
+    pos = rng.integers(0, N, (300000, 3))
+    flux = np.ones(len(pos))
+    pb, fb = eng.prepare_sources(pos, flux)
+    assert eng.window_W < W0, (eng.window_W, W0)
+    # span guarantee at the ADAPTED window
+    p = np.asarray(pb.pos)
+    span = p.max(axis=1) - p.min(axis=1)
+    assert span.max() <= eng.window_W - eng.geom.Dc
+    # every source represented exactly once (padding has zero flux)
+    f = np.asarray(fb)
+    assert (f > 0).sum() == len(pos)
+    # sparse catalog: W stays at the default
+    eng2 = ChebRaytracer(N, 8.0, SIG, bins, batch_size=32,
+                         accumulate="window")
+    eng2.prepare_sources(rng.integers(0, N, (200, 3)), np.ones(200))
+    assert eng2.window_W == W0
+
+
+def test_vectorized_packing_edge_cases():
+    """The vectorized greedy packing (rolling-window extrema + batch
+    walk) must handle: ns not divisible by B, ns < B, duplicate
+    positions, and a catalog lying on one line (degenerate bbox)."""
+    fmin = 3.288e15
+    bins = make_spectral_bins(BlackBodySource(5e4, False, fmin, 2.8),
+                              fmin, 40 * fmin, panels=2, nodes=4)
+    eng = ChebRaytracer(40, 5.0, SIG, bins, batch_size=8,
+                        accumulate="window")
+    span_max = eng.window_W - eng.geom.Dc
+    rng = np.random.default_rng(1)
+    cases = [
+        rng.integers(0, 40, (13, 3)),            # ns % B != 0
+        rng.integers(0, 40, (3, 3)),             # ns < B
+        np.tile([[7, 7, 7]], (20, 1)),           # duplicates
+        np.stack([np.arange(30) % 40,
+                  np.zeros(30, int),
+                  np.zeros(30, int)], 1),        # collinear
+    ]
+    for pos in cases:
+        flux = np.arange(1.0, len(pos) + 1.0)
+        pb, fb = eng.prepare_sources(pos, flux)
+        f = np.asarray(fb).ravel()
+        # all real sources present with their fluxes, padding zero
+        assert sorted(f[f > 0]) == sorted(flux)
+        if hasattr(pb, "pos"):
+            p = np.asarray(pb.pos)
+            span = p.max(axis=1) - p.min(axis=1)
+            assert span.max() <= span_max
