@@ -147,14 +147,6 @@ class C2RaySimulation:
             if self.thermal is not None:
                 self.temp = out[6]
             return
-        if (self.mesh is not None and "di" in self.mesh.axis_names
-                and getattr(self.raytracer, "needs_flux_bucketing", False)):
-            raise NotImplementedError(
-                "Raytracing.engine: adaptive supports the source-parallel "
-                "(\"src\",\"space\") mesh (bucket-major sharding) but not "
-                "the (\"di\",\"dj\",\"dk\") domain mesh — owner-local "
-                "bucketing is not built. Use a source mesh, or engine: "
-                "pallas under the domain mesh.")
         if self.mesh is not None and "di" not in self.mesh.axis_names \
                 and not hasattr(self.raytracer, "shard_trace"):
             raise NotImplementedError(

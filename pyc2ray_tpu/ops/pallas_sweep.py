@@ -18,6 +18,18 @@ b-shifts become full-lane rolls whose wrap/seam lanes are never selected
 the sign dimension of the cross-face stitches becomes a static half-lane
 select plus a roll by Dc (which swaps the halves).
 
+Multi-source lane packing (G > 1): at small radii the face pair is much
+narrower than a vreg ((24, 48) planes fill 37% of each (8, 128) f32
+register at R <= 10), so G sources of the batch share one plane with the
+SIGN-MAJOR lane layout  lane = sign*(G*Dc) + g*Dc + b  and the batch dim
+shrunk to B/G. Sign-major keeps every property of the single-source
+layout: the +-1 b-rolls only cross g-segment seams at b = 0 / b = Dc-1
+lanes that are never selected (same argument as the sign seam), the
+sign swap stays ONE roll by half the lane dim (G*Dc), and the nhi plane
+is still concat(lo, hi) of two pre-packed inputs. Only the cross-face
+line stitches become per-(g) masked patches (statically unrolled, G is
+2-4). Geometry channels are replicated per g segment host-side.
+
 Two kernels share the shell-update logic (_shell_update; formulation
 identical to raytrace_cheb._sweep — same dependency DAG as the reference
 ASORA/Fortran traversals):
@@ -54,28 +66,35 @@ __all__ = ["cheb_sweep_pallas", "cheb_sweep_rates_pallas",
            "pack_geometry", "pack_rates_tables"]
 
 
-def pack_geometry(g, dtype=np.float32):
-    """ChebGeometry -> packed geom[3, R1, 8, Dc, 2*Dc] array.
+def pack_geometry(g, dtype=np.float32, G=1):
+    """ChebGeometry -> packed geom[3, R1, 8, Dc, 2*G*Dc] array.
 
     Channels: s1..s4, path, diag, mask (minus half | plus half), dist2.
     Geometry is mirror-symmetric so all channels except the mask are the
-    same in both lane halves."""
+    same in both lane halves. With G > 1 (multi-source lane packing) the
+    geometry is identical for every source, so each channel is simply
+    replicated into the G per-source segments of each sign half."""
     R1 = g.r_max + 1
     Dc, c = g.Dc, g.c
-    out = np.zeros((3, R1, 8, Dc, 2 * Dc), dtype=dtype)
+    GD = G * Dc
+    out = np.zeros((3, R1, 8, Dc, 2 * GD), dtype=dtype)
     sw = np.transpose(g.sw, (0, 2, 1, 3, 4))          # (3, R1, 4, Dc, Dc)
-    for half in (slice(0, Dc), slice(Dc, 2 * Dc)):
-        out[:, :, 0:4, :, half] = sw
-        out[:, :, 4, :, half] = g.path
-        out[:, :, 5, :, half] = g.diag
-    out[:, :, 6, :, :Dc] = g.mask_m
-    out[:, :, 6, :, Dc:] = g.mask_p
+    segs_m = [slice(gi * Dc, (gi + 1) * Dc) for gi in range(G)]
+    segs_p = [slice(GD + gi * Dc, GD + (gi + 1) * Dc) for gi in range(G)]
+    for seg in segs_m + segs_p:
+        out[:, :, 0:4, :, seg] = sw
+        out[:, :, 4, :, seg] = g.path
+        out[:, :, 5, :, seg] = g.diag
+    for seg in segs_m:
+        out[:, :, 6, :, seg] = g.mask_m
+    for seg in segs_p:
+        out[:, :, 6, :, seg] = g.mask_p
     for r in range(R1):
         ihi = min(c + r, Dc - 1)
         for f, d2 in enumerate((g.dist2[ihi, :, :], g.dist2[:, ihi, :],
                                 g.dist2[:, :, ihi])):
-            out[f, r, 7, :, :Dc] = d2
-            out[f, r, 7, :, Dc:] = d2
+            for seg in segs_m + segs_p:
+                out[f, r, 7, :, seg] = d2
     return out
 
 
@@ -95,12 +114,14 @@ def pack_rates_tables(g, R2, dtype=np.float32):
     return out
 
 
-def _plane_ops(Dc, c):
-    """Shared lane/sublane helpers over (B, Dc, 2*Dc) planes."""
-    D2 = 2 * Dc
+def _plane_ops(Dc, c, G=1):
+    """Shared lane/sublane helpers over (B, Dc, 2*G*Dc) planes
+    (lane = sign*(G*Dc) + g*Dc + b; G = 1 is the single-source layout)."""
+    GD = G * Dc
+    D2 = 2 * GD
     lane = jax.lax.broadcasted_iota(jnp.int32, (Dc, D2), 1)
     subl = jax.lax.broadcasted_iota(jnp.int32, (Dc, D2), 0)
-    b_idx = jnp.where(lane < Dc, lane, lane - Dc)
+    b_idx = lane % Dc
     a_up = (subl >= c)[None]
     b_up = (b_idx >= c)[None]
 
@@ -121,21 +142,23 @@ def _plane_ops(Dc, c):
                          pltpu.roll(P, np.int32(Dc - 1), 1))
 
     def sb(P):
-        # full-lane roll; the half-seam lanes (b=0 of one face reading
-        # b=Dc-1 of the other) are never selected for the same reason.
+        # full-lane roll; the seam lanes (b=0 of one segment reading
+        # b=Dc-1 of the previous — sign OR g boundary) are never
+        # selected for the same reason.
         return jnp.where(b_up, pltpu.roll(P, np.int32(1), 2),
                          pltpu.roll(P, np.int32(D2 - 1), 2))
 
     def swap(line):
-        # (B, 2Dc) line: exchange the sign halves
-        return pltpu.roll(line, np.int32(Dc), 1)
+        # (B, 2*G*Dc) line: exchange the sign halves (the g segments
+        # inside each half stay aligned — the roll is by half the dim)
+        return pltpu.roll(line, np.int32(GD), 1)
 
     def row_of(P, apos):
-        """(B, 2Dc) line of the plane at sublane a = apos."""
+        """(B, 2*G*Dc) line of the plane at sublane a = apos."""
         return jnp.sum(jnp.where(subl[None] == apos, P, 0.0), axis=1)
 
     def col_of(P, lpos):
-        """(B, Dc) line of the plane at lane = lpos (one sign half)."""
+        """(B, Dc) line of the plane at lane = lpos (one segment)."""
         return jnp.sum(jnp.where(lane[None] == lpos, P, 0.0), axis=2)
 
     def put_row(P, apos, row, ok):
@@ -146,9 +169,27 @@ def _plane_ops(Dc, c):
         m = (lane[None] == lpos) & ok
         return jnp.where(m, col[:, :, None], P)
 
+    def seg(line, sign, gi):
+        """(B, Dc) slice of a line at segment (sign, g)."""
+        return line[:, sign * GD + gi * Dc: sign * GD + (gi + 1) * Dc]
+
+    def put_lane_seg(P, sign_t, bpos, cols, ok=True):
+        """Set lane (sign_t, g, bpos) <- cols[g] for every g segment
+        (cols: G sublane-columns of shape (B, Dc))."""
+        for gi in range(G):
+            P = put_lane(P, sign_t * GD + gi * Dc + bpos, cols[gi], ok)
+        return P
+
+    def cols_of(Q, sign_s, bpos):
+        """Per-g sublane-columns of Q at lane (sign_s, g, bpos)."""
+        return [col_of(Q, sign_s * GD + gi * Dc + bpos)
+                for gi in range(G)]
+
+    ops.GD = GD
     ops.sa, ops.sb, ops.swap = sa, sb, swap
     ops.row_of, ops.col_of = row_of, col_of
     ops.put_row, ops.put_lane = put_row, put_lane
+    ops.seg, ops.put_lane_seg, ops.cols_of = seg, put_lane_seg, cols_of
     return ops
 
 
@@ -187,60 +228,55 @@ def _shell_update(r, c, Dc, ops, dr, sig, lim,
     ahi = c + r - 1
     ok_lo = (c - r) >= 0
     ok_hi = (c + r) <= Dc - 1
+    GD = ops.GD
+    G = GD // Dc
     lane0 = ops.lane[0]
-    put_row, put_lane = ops.put_row, ops.put_lane
-    row_of, col_of, swap = ops.row_of, ops.col_of, ops.swap
+    put_row, put_lane_seg = ops.put_row, ops.put_lane_seg
+    row_of, cols_of, swap, seg = ops.row_of, ops.cols_of, ops.swap, ops.seg
+
+    def segs(line, sign):
+        return [seg(line, sign, gi) for gi in range(G)]
 
     # ---- x faces (plane (j, sign x k)); stencil from X/Y/Z[r-1]
     P = Xp_v
-    yl = row_of(Yp_v, alo)     # [Y-(alo,k) | Y+(alo,k)]
+    yl = row_of(Yp_v, alo)     # [Y-(alo,k) | Y+(alo,k)] (per g segment)
     yh = row_of(Yp_v, ahi)
-    P = put_row(P, alo, jnp.where(lane0 < Dc, yl, swap(yh)), True)
-    P = put_row(P, ahi, jnp.where(lane0 < Dc, swap(yl), yh), True)
+    P = put_row(P, alo, jnp.where(lane0 < GD, yl, swap(yh)), True)
+    P = put_row(P, ahi, jnp.where(lane0 < GD, swap(yl), yh), True)
     zl = row_of(Zp_v, alo)     # [Z-(alo,j) | Z+(alo,j)]
     zh = row_of(Zp_v, ahi)
-    P = put_lane(P, alo, zl[:, :Dc], True)        # X- k=alo <- Z-(alo)
-    P = put_lane(P, Dc + alo, zh[:, :Dc], True)   # X+ k=alo <- Z-(ahi)
-    P = put_lane(P, ahi, zl[:, Dc:], True)        # X- k=ahi <- Z+(alo)
-    P = put_lane(P, Dc + ahi, zh[:, Dc:], True)   # X+ k=ahi <- Z+(ahi)
+    P = put_lane_seg(P, 0, alo, segs(zl, 0))      # X- k=alo <- Z-(alo)
+    P = put_lane_seg(P, 1, alo, segs(zh, 0))      # X+ k=alo <- Z-(ahi)
+    P = put_lane_seg(P, 0, ahi, segs(zl, 1))      # X- k=ahi <- Z+(alo)
+    P = put_lane_seg(P, 1, ahi, segs(zh, 1))      # X+ k=ahi <- Z+(ahi)
     fx = _face_update(ops, gx_ref, nx_lo, nx_hi, P, dr, sig, lim)
     Xn = fx[4]
 
     # ---- y faces (plane (i, sign x k)); stencil Y[r-1]+Z[r-1]+X[r]
     P = Yp_v
-    zc_m_alo = col_of(Zp_v, alo)        # Z-(j=alo) over i
-    zc_m_ahi = col_of(Zp_v, ahi)
-    zc_p_alo = col_of(Zp_v, Dc + alo)
-    zc_p_ahi = col_of(Zp_v, Dc + ahi)
-    P = put_lane(P, alo, zc_m_alo, True)          # Y- k=alo <- Z-(j=alo)
-    P = put_lane(P, Dc + alo, zc_m_ahi, True)     # Y+ k=alo <- Z-(j=ahi)
-    P = put_lane(P, ahi, zc_p_alo, True)          # Y- k=ahi <- Z+(j=alo)
-    P = put_lane(P, Dc + ahi, zc_p_ahi, True)     # Y+ k=ahi <- Z+(j=ahi)
+    P = put_lane_seg(P, 0, alo, cols_of(Zp_v, 0, alo))  # Y- k=alo <- Z-(j=alo)
+    P = put_lane_seg(P, 1, alo, cols_of(Zp_v, 0, ahi))  # Y+ k=alo <- Z-(j=ahi)
+    P = put_lane_seg(P, 0, ahi, cols_of(Zp_v, 1, alo))  # Y- k=ahi <- Z+(j=alo)
+    P = put_lane_seg(P, 1, ahi, cols_of(Zp_v, 1, ahi))  # Y+ k=ahi <- Z+(j=ahi)
     xl = row_of(Xn, alo)          # [X-(alo,k) | X+(alo,k)]
     xh2 = row_of(Xn, ahi)
-    P = put_row(P, c - r, jnp.where(lane0 < Dc, xl, swap(xh2)), ok_lo)
-    P = put_row(P, c + r, jnp.where(lane0 < Dc, swap(xl), xh2), ok_hi)
+    P = put_row(P, c - r, jnp.where(lane0 < GD, xl, swap(xh2)), ok_lo)
+    P = put_row(P, c + r, jnp.where(lane0 < GD, swap(xl), xh2), ok_hi)
     fy = _face_update(ops, gy_ref, ny_lo, ny_hi, P, dr, sig, lim)
     Yn = fy[4]
 
     # ---- z faces (plane (i, sign x j)); stencil Z[r-1]+X[r]+Y[r]
     P = Zp_v
-    xc_m_alo = col_of(Xn, alo)             # X-(k=alo) over j
-    xc_m_ahi = col_of(Xn, ahi)
-    xc_p_alo = col_of(Xn, Dc + alo)
-    xc_p_ahi = col_of(Xn, Dc + ahi)
-    row_ilo = jnp.concatenate([xc_m_alo, xc_m_ahi], axis=-1)
-    row_ihi = jnp.concatenate([xc_p_alo, xc_p_ahi], axis=-1)
+    row_ilo = jnp.concatenate(cols_of(Xn, 0, alo) + cols_of(Xn, 0, ahi),
+                              axis=-1)          # X-(k=alo)|X-(k=ahi) over j
+    row_ihi = jnp.concatenate(cols_of(Xn, 1, alo) + cols_of(Xn, 1, ahi),
+                              axis=-1)
     P = put_row(P, c - r, row_ilo, ok_lo)
     P = put_row(P, c + r, row_ihi, ok_hi)
-    yc_m_alo = col_of(Yn, alo)             # Y-(k=alo) over i
-    yc_m_ahi = col_of(Yn, ahi)
-    yc_p_alo = col_of(Yn, Dc + alo)
-    yc_p_ahi = col_of(Yn, Dc + ahi)
-    P = put_lane(P, c - r, yc_m_alo, ok_lo)       # Z- j=c-r <- Y-(k=alo)
-    P = put_lane(P, Dc + c - r, yc_m_ahi, ok_lo)  # Z+ j=c-r <- Y-(k=ahi)
-    P = put_lane(P, c + r, yc_p_alo, ok_hi)       # Z- j=c+r <- Y+(k=alo)
-    P = put_lane(P, Dc + c + r, yc_p_ahi, ok_hi)  # Z+ j=c+r <- Y+(k=ahi)
+    P = put_lane_seg(P, 0, c - r, cols_of(Yn, 0, alo), ok_lo)  # Z- j=c-r <- Y-(k=alo)
+    P = put_lane_seg(P, 1, c - r, cols_of(Yn, 0, ahi), ok_lo)  # Z+ j=c-r <- Y-(k=ahi)
+    P = put_lane_seg(P, 0, c + r, cols_of(Yn, 1, alo), ok_hi)  # Z- j=c+r <- Y+(k=alo)
+    P = put_lane_seg(P, 1, c + r, cols_of(Yn, 1, ahi), ok_hi)  # Z+ j=c+r <- Y+(k=ahi)
     fz = _face_update(ops, gz_ref, nz_lo, nz_hi, P, dr, sig, lim)
 
     return fx, fy, fz
@@ -260,11 +296,11 @@ def _kernel(dr_ref, init_ref,
             nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
             xs_ref, ys_ref, zs_ref,
             Xp, Yp, Zp,
-            *, B, Dc, c, sig, bins, R2):
+            *, B, Dc, c, sig, bins, R2, G=1):
     f32 = Xp.dtype
     r = pl.program_id(0)
     dr = dr_ref[0, 0]
-    ops = _plane_ops(Dc, c)
+    ops = _plane_ops(Dc, c, G)
 
     @pl.when(r == 0)
     def _():
@@ -312,41 +348,44 @@ def _kernel(dr_ref, init_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("B", "Dc", "R1", "c", "sig", "bins",
-                                    "R2", "interpret"))
+                                    "R2", "G", "interpret"))
 def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
-                      B, Dc, R1, c, sig, bins=None, R2=0.0,
+                      B, Dc, R1, c, sig, bins=None, R2=0.0, G=1,
                       interpret=False):
     """Run the sweep kernel over a sequential shell grid.
 
-    geom: 3-tuple of (R1, 8, Dc, 2*Dc) per-face tables (pre-split so no
+    geom: 3-tuple of (R1, 8, Dc, 2*G*Dc) per-face tables (pre-split so no
     per-call slice of a stacked array lands inside a caller's batch loop);
-    nhi_{x,y,z}: (Dc, B, Dc, Dc) face-leading;
-    init_plane: (B, Dc, 2*Dc) sheet with the source cell set in both
-    halves. With bins=None returns column-density stacks; with bins a
-    static tuple of (s_e, w_e) pairs, the rate pass is fused and the
-    outputs are flux-less Gamma stacks (multiply by the per-source flux
-    outside). Returns (X, Y, Z) stacks of shape (B, R1, Dc, 2*Dc) with
-    the face sign packed in the lane dimension — BATCH-LEADING, the
-    layout the fold consumes, so no (R1,B)->(B,R1) transpose copies
-    materialize between the kernel and the fold (measured ~44 us/batch
-    at the R=10 window config).
+    nhi_{x,y,z}: (Dc, Bg, Dc, G*Dc) face-leading (Bg = B // G, G sources
+    packed into the lane dim as g-major segments);
+    init_plane: (Bg, Dc, 2*G*Dc) sheet with each source cell set in both
+    sign halves of its g segment. With bins=None returns column-density
+    stacks; with bins a static tuple of (s_e, w_e) pairs, the rate pass
+    is fused and the outputs are flux-less Gamma stacks (multiply by the
+    per-source flux outside). Returns (X, Y, Z) stacks of shape
+    (Bg, R1, Dc, 2*G*Dc) with (sign, g) packed in the lane dimension —
+    BATCH-LEADING, the layout the fold consumes, so no (R1,B)->(B,R1)
+    transpose copies materialize between the kernel and the fold
+    (measured ~44 us/batch at the R=10 window config).
     """
     dt = nhi_x.dtype
-    kern = functools.partial(_kernel, B=B, Dc=Dc, c=c, sig=float(sig),
-                             bins=bins, R2=float(R2))
+    Bg = B // G
+    GD = G * Dc
+    kern = functools.partial(_kernel, B=Bg, Dc=Dc, c=c, sig=float(sig),
+                             bins=bins, R2=float(R2), G=G)
     dr2d = jnp.asarray(dr, dt).reshape(1, 1)
 
-    nspec_lo = pl.BlockSpec((1, B, Dc, Dc),
+    nspec_lo = pl.BlockSpec((1, Bg, Dc, GD),
                             lambda r: (jnp.maximum(c - r, 0), 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    nspec_hi = pl.BlockSpec((1, B, Dc, Dc),
+    nspec_hi = pl.BlockSpec((1, Bg, Dc, GD),
                             lambda r: (jnp.minimum(c + r, Dc - 1), 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    g4 = pl.BlockSpec((1, 8, Dc, 2 * Dc), lambda r: (r, 0, 0, 0),
+    g4 = pl.BlockSpec((1, 8, Dc, 2 * GD), lambda r: (r, 0, 0, 0),
                       memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((B, 1, Dc, 2 * Dc), lambda r: (0, r, 0, 0),
+    out_spec = pl.BlockSpec((Bg, 1, Dc, 2 * GD), lambda r: (0, r, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((B, R1, Dc, 2 * Dc), dt)] * 3
+    out_shape = [jax.ShapeDtypeStruct((Bg, R1, Dc, 2 * GD), dt)] * 3
 
     return pl.pallas_call(
         kern,
@@ -354,7 +393,7 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # dr
-            pl.BlockSpec((B, Dc, 2 * Dc), lambda r: (0, 0, 0),
+            pl.BlockSpec((Bg, Dc, 2 * GD), lambda r: (0, 0, 0),
                          memory_space=pltpu.VMEM),            # init plane
             g4, g4, g4,                                       # geometry
             nspec_lo, nspec_hi,                               # nhi_x planes
@@ -363,9 +402,9 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
         ],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((B, Dc, 2 * Dc), dt),
-            pltpu.VMEM((B, Dc, 2 * Dc), dt),
-            pltpu.VMEM((B, Dc, 2 * Dc), dt),
+            pltpu.VMEM((Bg, Dc, 2 * GD), dt),
+            pltpu.VMEM((Bg, Dc, 2 * GD), dt),
+            pltpu.VMEM((Bg, Dc, 2 * GD), dt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

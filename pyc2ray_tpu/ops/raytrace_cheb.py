@@ -211,9 +211,20 @@ class ChebRaytracer:
         self._rb0 = b0
         self._rb1 = b1
         self.Ds = b1 - b0
+        # Multi-source lane packing: at small radii the kernel's
+        # (Dc, 2*Dc) face-pair planes fill only 2*Dc/128 of each (8, 128)
+        # f32 vreg (37% at Dc=24), so G = 64//Dc sources share one plane
+        # (lane = sign*G*Dc + g*Dc + b) and the kernel batch dim shrinks
+        # to B/G — same FLOPs in ~1/G the vector registers. Needs G | B;
+        # the fused-fold kernel keeps the G=1 geometry layout.
+        gp = max(1, 64 // g.Dc)
+        while gp > 1 and (self.batch_size % gp or self.fuse_fold
+                          or not self.use_pallas):
+            gp //= 2
+        self.lane_pack = gp
         from .pallas_sweep import pack_geometry, pack_rates_tables
         np_dt = np.float32 if dt == jnp.float32 else np.float64
-        geom_np = pack_geometry(g, np_dt)
+        geom_np = pack_geometry(g, np_dt, G=self.lane_pack)
         rt_np = pack_rates_tables(g, float(R_max_LLS) ** 2, np_dt)
         sub3 = (slice(self._rb0, self._rb1),) * 3
         self.tables = ChebTables(
@@ -460,9 +471,11 @@ class ChebRaytracer:
         return cd.at[:, c, c, c].set(src_cd)
 
     def _fold_stacks_packed(self, X, Y, Z, src_cd):
-        """Fold the lane-packed (B, R1, Dc, 2*Dc) BATCH-LEADING face
+        """Fold the lane-packed (Bg, R1, Dc, 2*G*Dc) BATCH-LEADING face
         stacks from the Pallas kernel into the cartesian box
-        (B, Dc, Dc, Dc).
+        (B, Dc, Dc, Dc). With multi-source lane packing (G > 1) the g
+        segments of each sign half are first unpacked back into the
+        batch dim (b = bg*G + g, matching the nhi packing).
 
         Pure static assembly (no per-shell loop): shell r's minus face is
         box plane c-r and its plus face c+r, so the whole stack maps to a
@@ -480,10 +493,21 @@ class ChebRaytracer:
         dt = self.dtype
         B = src_cd.shape[0]
         c, Dc, R1 = g.c, g.Dc, g.r_max + 1
+        G = B // X.shape[0]
+        GD = G * Dc
+
+        def unseg(Sh):
+            # (Bg, R1, Dc, G*Dc) sign half -> (B, R1, Dc, Dc)
+            if G == 1:
+                return Sh
+            Bg = Sh.shape[0]
+            return Sh.reshape(Bg, R1, Dc, G, Dc) \
+                     .transpose(0, 3, 1, 2, 4) \
+                     .reshape(B, R1, Dc, Dc)
 
         def fold(S):
-            Sm = S[:, :, :, :Dc]      # minus faces (batch-leading)
-            Sp = S[:, :, :, Dc:]
+            Sm = unseg(S[:, :, :, :GD])      # minus faces (batch-leading)
+            Sp = unseg(S[:, :, :, GD:])
             n_dn = min(c, R1 - 1)
             n_up = min(Dc - 1 - c, R1 - 1)
             dn = jnp.flip(Sm[:, 1:n_dn + 1], 1)
@@ -513,22 +537,40 @@ class ChebRaytracer:
         from .pallas_sweep import cheb_sweep_pallas
         g = self.geom
         B = nhi_box.shape[0]
-        nx = jnp.transpose(nhi_box, (1, 0, 2, 3))
-        ny = jnp.transpose(nhi_box, (2, 0, 1, 3))
-        nz = jnp.transpose(nhi_box, (3, 0, 1, 2))
-        src_cd = nhi_box[:, g.c, g.c, g.c] * (0.5 * dr)
-        ar = lax.broadcasted_iota(jnp.int32, (g.Dc, 2 * g.Dc), 0)
-        br = lax.broadcasted_iota(jnp.int32, (g.Dc, 2 * g.Dc), 1)
-        center = ((ar == g.c) & ((br == g.c) | (br == g.Dc + g.c)))[None]
-        init_plane = jnp.broadcast_to(
-            jnp.where(center, src_cd[:, None, None], 0.0),
-            (B, g.Dc, 2 * g.Dc)).astype(self.dtype)
+        Dc, c = g.Dc, g.c
+        G = self.lane_pack if B % self.lane_pack == 0 else 1
+        Bg = B // G
+        GD = G * Dc
+
+        def pack(n_t):
+            # (Dc_face, B, Dc, Dc) -> (Dc_face, Bg, Dc, G*Dc): the g
+            # sources of each group land in g-major lane segments
+            # (b = bg*G + g, the order the fold unpacks)
+            if G == 1:
+                return n_t
+            return n_t.reshape(Dc, Bg, G, Dc, Dc) \
+                      .transpose(0, 1, 3, 2, 4) \
+                      .reshape(Dc, Bg, Dc, GD)
+
+        nx = pack(jnp.transpose(nhi_box, (1, 0, 2, 3)))
+        ny = pack(jnp.transpose(nhi_box, (2, 0, 1, 3)))
+        nz = pack(jnp.transpose(nhi_box, (3, 0, 1, 2)))
+        src_cd = nhi_box[:, c, c, c] * (0.5 * dr)
+        ar = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 0)
+        br = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 1)
+        center = (ar == c) & (br % Dc == c)
+        # per-lane source value: lane (sign, g, b) belongs to source
+        # bg*G + g of the group
+        gmap = (np.arange(2 * GD) % GD) // Dc            # (2GD,) static
+        vals = src_cd.reshape(Bg, G)[:, gmap]            # (Bg, 2GD)
+        init_plane = jnp.where(center[None], vals[:, None, :], 0.0) \
+            .astype(self.dtype)
         X, Y, Z = cheb_sweep_pallas(
             (tb.geom_x, tb.geom_y, tb.geom_z), nx, ny, nz, dr, init_plane,
-            B=B, Dc=g.Dc, R1=g.r_max + 1, c=g.c,
+            B=B, Dc=Dc, R1=g.r_max + 1, c=c,
             sig=(self.sig if sig is None else float(sig)),
             bins=self._bins_static if fuse_rates else None,
-            R2=self.R_max_LLS ** 2,
+            R2=self.R_max_LLS ** 2, G=G,
             interpret=self._pallas_interpret)
         center_val = jnp.zeros_like(src_cd) if fuse_rates else src_cd
         return self._fold_stacks_packed(X, Y, Z, center_val)

@@ -114,7 +114,16 @@ class DomainDecomposition:
     """
 
     def __init__(self, engine, mesh):
-        if not hasattr(engine, "trace_extended"):
+        # adaptive engine: owner-local bucketing — every device buckets
+        # the sources it owns by the Stromgren policy and sweeps
+        # bucket-major locally; ONE halo exchange sized for the largest
+        # bucket serves all buckets (reference role: subbox + MPI source
+        # split compose freely in its CPU path, reference
+        # evolve.py:361-371 + raytracing.f90:183-226)
+        self._adaptive = bool(getattr(engine, "needs_flux_bucketing",
+                                      False))
+        probe = engine.engines[-1] if self._adaptive else engine
+        if not hasattr(probe, "trace_extended"):
             raise TypeError(
                 "domain decomposition requires the cheb/pallas engine "
                 "(ops.raytrace_cheb.ChebRaytracer); got "
@@ -123,7 +132,7 @@ class DomainDecomposition:
         self.engine = engine
         self.mesh = mesh
         self.N = engine.N
-        g = engine.geom
+        g = probe.geom                 # largest bucket sets the halo
         self.hlo = g.c                 # low-side halo width
         self.hhi = g.Dc - 1 - g.c      # high-side halo width
         N = self.N
@@ -333,7 +342,7 @@ class DomainDecomposition:
         return fx
 
     # -- source bucketing (host side) ------------------------------------
-    def prepare_sources(self, src_pos, src_flux):
+    def prepare_sources(self, src_pos, src_flux, dr=None, avg_dens=None):
         """Bucket sources by owning device and split interior/boundary.
 
         Interior sources are those whose (2R+1)^3 dependency cube lies
@@ -343,10 +352,64 @@ class DomainDecomposition:
         Returns ``(pos_int, flux_int, pos_bnd, flux_bnd)`` with shapes
         (n_dev*nb, B, 3) / (n_dev*nb, B); the leading axis shard_maps
         over the mesh. Either pair is ``(None, None)`` when that class is
-        empty on every device. Positions are extended-local coordinates
-        (= unpadded local coordinates). All devices get the same batch
-        count; padding sources have zero flux."""
-        B = self.engine.batch_size
+        empty on every device. Positions are BOX-START positions in the
+        extended frame (for the largest-bucket halo these coincide with
+        unpadded local cell coordinates; smaller adaptive buckets carry
+        the constant shift hlo - c_k). All devices get the same batch
+        count; padding sources have zero flux.
+
+        With the adaptive engine each of the four slots is a per-bucket
+        tuple (owner-local bucketing: the Stromgren policy assigns radii
+        exactly as on one device, then each bucket is staged per owner
+        in lockstep); ``dr`` and ``avg_dens`` feed the policy."""
+        if self._adaptive:
+            if dr is None or avg_dens is None:
+                raise ValueError(
+                    "adaptive engine under the domain mesh needs dr and "
+                    "avg_dens (mean of the traced density grid) for the "
+                    "Stromgren bucketing policy")
+            buckets = self.engine.assign_buckets(
+                np.asarray(src_flux), float(dr), float(avg_dens))
+            pos = np.asarray(src_pos)
+            flx = np.asarray(src_flux)
+            slots = [[], [], [], []]
+            n_dev = int(np.prod([a.p for a in self.axes]))
+            for k, eng in enumerate(self.engine.engines):
+                sel = np.nonzero(buckets == k)[0]
+                if sel.size == 0:
+                    # empty bucket: one zero-flux interior batch per
+                    # device keeps the jitted step's pytree structure
+                    # static when occupancy changes between timesteps
+                    # (the same reason the source-parallel staging does,
+                    # source_parallel._prepare_adaptive_sharded)
+                    from ..ops.raytrace_cheb import PackedPositions
+                    B = eng.batch_size
+                    shift = self.hlo - eng.geom.c
+                    p0 = jnp.full((n_dev, B, 3), shift, jnp.int32)
+                    if eng.accumulate == "window":
+                        p0 = PackedPositions(p0)
+                    out = (p0, jnp.zeros((n_dev, B), eng.dtype),
+                           None, None)
+                else:
+                    out = self._prepare_engine_sources(eng, pos[sel],
+                                                       flx[sel])
+                for s, o in zip(slots, out):
+                    s.append(o)
+            return tuple(
+                None if all(e is None for e in s) else tuple(s)
+                for s in slots)
+        return self._prepare_engine_sources(self.engine, src_pos, src_flux)
+
+    def _prepare_engine_sources(self, engine, src_pos, src_flux):
+        """Stage one engine's sources per owning device (see
+        ``prepare_sources``). ``engine`` may be a smaller adaptive
+        bucket than the one that sized the halo; its box starts carry
+        the constant shift ``hlo - c_k`` into the max-halo frame."""
+        B = engine.batch_size
+        g = engine.geom
+        c_k = g.c
+        hhi_k = g.Dc - 1 - c_k
+        shift = self.hlo - c_k
         pos = np.asarray(src_pos, dtype=np.int64)
         flx = np.asarray(src_flux, dtype=np.float64)
         ai, aj, ak = self.axes
@@ -358,9 +421,10 @@ class DomainDecomposition:
         loc[:, 0] -= oi * ai.Lp
         loc[:, 1] -= oj * aj.Lp
         loc[:, 2] -= ok * ak.Lp
-        # interior test per decomposed axis: the box [l, l+Dc) must stay
-        # within [hlo, hlo + L_valid) of the extended frame, i.e.
-        # hlo <= l <= L_valid - 1 - hhi (L_valid < Lp on the last shard)
+        # interior test per decomposed axis: the box [l-c_k, l+hhi_k]
+        # must stay within [0, L_valid) of the local block, i.e.
+        # c_k <= l <= L_valid - 1 - hhi_k (L_valid < Lp on the last
+        # shard)
         interior = np.ones(len(pos), dtype=bool)
         for dim, ax in enumerate(self.axes):
             if ax.p == 1:
@@ -368,16 +432,17 @@ class DomainDecomposition:
             o = pos[:, dim] // ax.Lp
             l = loc[:, dim]
             L_valid = np.minimum(ax.Lp, self.N - o * ax.Lp)
-            interior &= (l >= self.hlo) & (l <= L_valid - 1 - self.hhi)
+            interior &= (l >= c_k) & (l <= L_valid - 1 - hhi_k)
+        loc += shift
 
         n_dev = ai.p * aj.p * ak.p
 
-        window = getattr(self.engine, "accumulate", None) == "window"
+        window = getattr(engine, "accumulate", None) == "window"
 
         def bucket_plain(sel_all):
             counts = np.bincount(owner[sel_all], minlength=n_dev)
             nb = max(1, -(-int(counts.max()) // B))
-            out_pos = np.zeros((n_dev, nb * B, 3), dtype=np.int32)
+            out_pos = np.full((n_dev, nb * B, 3), shift, dtype=np.int32)
             out_flx = np.zeros((n_dev, nb * B), dtype=np.float64)
             for d in range(n_dev):
                 sel = sel_all[owner[sel_all] == d]
@@ -385,7 +450,7 @@ class DomainDecomposition:
                 out_flx[d, :len(sel)] = flx[sel]
             return (jnp.asarray(out_pos.reshape(n_dev * nb, B, 3)),
                     jnp.asarray(out_flx.reshape(n_dev * nb, B),
-                                dtype=self.engine.dtype))
+                                dtype=engine.dtype))
 
         def bucket(sel_mask):
             sel_all = np.nonzero(sel_mask)[0]
@@ -408,15 +473,15 @@ class DomainDecomposition:
             # always agree (a mismatch would misplace boxes)
             ext_dims = tuple(self.hlo + ax.Lp + self.hhi
                              for ax in self.axes)
-            W_eff = self.engine.window_for_ext(ext_dims)
+            W_eff = engine.window_for_ext(ext_dims)
             per_pos, per_flx = [], []
             for d in range(n_dev):
                 sel = sel_all[owner[sel_all] == d]
                 if len(sel) == 0:
-                    per_pos.append(np.zeros((1, B, 3), np.int32))
+                    per_pos.append(np.full((1, B, 3), shift, np.int32))
                     per_flx.append(np.zeros((1, B)))
                     continue
-                pb, fb = self.engine._prepare_sources_packed(
+                pb, fb = engine._prepare_sources_packed(
                     loc[sel], flx[sel], W=W_eff, allow_fallback=False)
                 per_pos.append(np.asarray(pb.pos))
                 per_flx.append(np.asarray(fb, dtype=np.float64))
@@ -437,11 +502,22 @@ class DomainDecomposition:
             return (PackedPositions(jnp.asarray(
                         np.concatenate(per_pos, axis=0))),
                     jnp.asarray(np.concatenate(per_flx, axis=0),
-                                dtype=self.engine.dtype))
+                                dtype=engine.dtype))
 
         pos_i, flux_i = bucket(interior)
         pos_b, flux_b = bucket(~interior)
         return pos_i, flux_i, pos_b, flux_b
+
+    def _bucket_views(self, tb, pos, flux):
+        """Normalize a source slot to aligned (engine, tables, pos,
+        flux) quadruples — per-bucket for the adaptive engine, a single
+        entry otherwise."""
+        if not self._adaptive:
+            return [(self.engine, tb, pos, flux)]
+        return [(eng, tbk, pk, fk)
+                for eng, tbk, pk, fk
+                in zip(self.engine.engines, tb, pos, flux)
+                if pk is not None]
 
     # -- sharded trace ----------------------------------------------------
     def _trace_shard(self, tb, nd_loc, xh_loc, srcs, dr):
@@ -449,21 +525,34 @@ class DomainDecomposition:
 
         Interior sources sweep the un-exchanged local data; they carry no
         data dependency on the halo-gather collectives, so XLA overlaps
-        the exchange with their compute."""
+        the exchange with their compute. With the adaptive engine every
+        bucket sweeps the SAME extended frame (one halo exchange sized
+        for the largest bucket; smaller buckets' box starts carry the
+        constant hlo - c_k shift applied by prepare_sources)."""
         pos_i, flux_i, pos_b, flux_b = srcs
         eng = self.engine
         nhi = nd_loc * (1.0 - xh_loc)
+        do_heat = eng.do_heating
+
+        def sweep_frame(frame, pos, flux):
+            phi_e = heat_e = None
+            for ek, tbk, pk, fk in self._bucket_views(tb, pos, flux):
+                p, h = ek.trace_extended(tbk, frame, pk, fk, dr)
+                phi_e = p if phi_e is None else phi_e + p
+                if do_heat:
+                    heat_e = h if heat_e is None else heat_e + h
+            return phi_e, heat_e
+
         phi = heat = None
         if pos_i is not None:
-            phi_ie, heat_ie = eng.trace_extended(
-                tb, self._pad_local(nhi), pos_i, flux_i, dr)
+            phi_ie, heat_ie = sweep_frame(self._pad_local(nhi),
+                                          pos_i, flux_i)
             phi = self._strip_local(phi_ie)
             heat = self._strip_local(heat_ie) if heat_ie is not None \
                 else None
         if pos_b is not None:
-            nhi_ext = self.halo_gather(nhi)
-            phi_be, heat_be = eng.trace_extended(tb, nhi_ext, pos_b,
-                                                 flux_b, dr)
+            phi_be, heat_be = sweep_frame(self.halo_gather(nhi),
+                                          pos_b, flux_b)
             phi_b = self.halo_reduce(phi_be)
             phi = phi_b if phi is None else phi + phi_b
             if heat_be is not None:
@@ -471,7 +560,7 @@ class DomainDecomposition:
                 heat = heat_b if heat is None else heat + heat_b
         if phi is None:
             phi = jnp.zeros(nhi.shape, dtype=eng.dtype)
-            if eng.do_heating:
+            if do_heat:
                 heat = jnp.zeros(nhi.shape, dtype=eng.dtype)
         return phi, heat
 
@@ -481,9 +570,11 @@ class DomainDecomposition:
         eng = self.engine
         nd = jnp.asarray(np.asarray(ndens), eng.dtype).reshape((self.N,) * 3)
         xh = jnp.asarray(np.asarray(xh_av), eng.dtype).reshape((self.N,) * 3)
+        avg_dens = float(jnp.mean(nd)) if self._adaptive else None
         nd = self.pad_global(nd, 1.0)
         xh = self.pad_global(xh, 0.5)
-        srcs = self.prepare_sources(src_pos, src_flux)
+        srcs = self.prepare_sources(src_pos, src_flux, dr=float(dr),
+                                    avg_dens=avg_dens)
         spec = self._spec(); sspec = self._src_spec()
         in_specs = [P(), spec, spec]
         args = [eng.tables, nd, xh]
@@ -715,13 +806,15 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
     num_src = int(np.asarray(src_flux).shape[0])
     dtype = eng.dtype
     sh3 = (N, N, N)
+    ndens_j = jnp.asarray(np.asarray(ndens), dtype).reshape(sh3)
+    avg_dens = float(jnp.mean(ndens_j)) if decomp._adaptive else None
     temp_d = decomp.pad_global(
         jnp.asarray(np.asarray(temp), dtype).reshape(sh3), 1e4)
-    ndens_d = decomp.pad_global(
-        jnp.asarray(np.asarray(ndens), dtype).reshape(sh3), 1.0)
+    ndens_d = decomp.pad_global(ndens_j, 1.0)
     xh_d = decomp.pad_global(
         jnp.asarray(np.asarray(xh), dtype).reshape(sh3), 0.5)
-    srcs = decomp.prepare_sources(src_pos, src_flux)
+    srcs = decomp.prepare_sources(src_pos, src_flux, dr=float(dr),
+                                  avg_dens=avg_dens)
     step = decomp.make_step(chem, srcs)
     emitted = float(np.sum(np.asarray(src_flux, dtype=np.float64))) \
         * S_STAR_REF
@@ -730,7 +823,14 @@ def evolve3D_domain(dt, dr, src_flux, src_pos, decomp: DomainDecomposition,
     if thermal is not None and not heating:
         raise ValueError("thermal evolution requires a heating engine")
 
-    n_int = 0 if srcs[1] is None else int((np.asarray(srcs[1]) > 0).sum())
+    def _count_src(f):
+        if f is None:
+            return 0
+        if isinstance(f, tuple):
+            return sum(_count_src(e) for e in f)
+        return int((np.asarray(f) > 0).sum())
+
+    n_int = _count_src(srcs[1])
     printlog(f"Calling evolve3D over domain mesh "
              f"{decomp.pi}x{decomp.pj}x{decomp.pk} "
              f"(halo {decomp.hlo}/{decomp.hhi}, "

@@ -384,3 +384,105 @@ def test_domain_traffic_512_class_production_scale():
     assert tot < 0.06 * 2 * N ** 3 * 8          # >16x below the reference
     assert not re.search(r"all_gather.*tensor<512x512x512", txt)
     assert not re.search(r"all_reduce.*tensor<512x512x512", txt)
+
+
+def _adaptive_engine(N, radii, batch=4, accumulate="auto"):
+    from pyc2ray_tpu.ops.adaptive import AdaptiveRaytracer
+    return AdaptiveRaytracer(N, max(radii), SIG, grey_bins(),
+                             radii=list(radii), batch_size=batch,
+                             dtype=jnp.float64, accumulate=accumulate,
+                             R_min=1.0)
+
+
+def test_domain_adaptive_trace_matches_single():
+    """Owner-local bucketing (VERDICT r4 item 3): the adaptive engine
+    under the 3D domain mesh — per-owner Stromgren buckets swept
+    bucket-major on ONE max-halo exchange — must reproduce the
+    single-device adaptive trace exactly."""
+    N = 24
+    rng = np.random.RandomState(21)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.5, (N, N, N))
+    ns = 40
+    src = rng.randint(0, N, size=(ns, 3))
+    flux = 10 ** rng.uniform(-3, 1, ns)       # 4 decades: spreads buckets
+    art = _adaptive_engine(N, (3.0, 6.0))
+    avg = float(np.mean(ndens))
+    batches, _ = art.prepare_sources(src, flux, dr=float(DR), avg_dens=avg)
+    assert all(c > 0 for c in batches.counts), "want every bucket hit"
+    phi_s = np.asarray(art.trace(ndens, xh, src, flux, DR, avg_dens=avg))
+    dd = DomainDecomposition(art, make_domain_mesh(2, 2, 2))
+    assert dd._adaptive and dd.hlo == art.engines[-1].geom.c
+    phi_d = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    # per-bucket halo pieces sum in a different order than the
+    # single-device bucket totals: f64 non-associativity only
+    np.testing.assert_allclose(phi_d, phi_s, rtol=1e-10)
+
+
+def test_domain_adaptive_trace_window_engine():
+    """Adaptive x domain with window-accumulate buckets (the production
+    configuration): per-bucket per-owner Morton packing against the
+    max-halo extended frame, smaller buckets shifted by hlo - c_k."""
+    N = 32
+    rng = np.random.RandomState(22)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.5, (N, N, N))
+    ns = 400
+    src = rng.randint(0, N, size=(ns, 3))
+    flux = 10 ** rng.uniform(-2, 1, ns)
+    art = _adaptive_engine(N, (3.0, 6.0), batch=4, accumulate="window")
+    assert all(e.accumulate == "window" for e in art.engines)
+    avg = float(np.mean(ndens))
+    phi_s = np.asarray(art.trace(ndens, xh, src, flux, DR, avg_dens=avg))
+    dd = DomainDecomposition(art, make_domain_mesh(2, 2, 2))
+    phi_d = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_d, phi_s, rtol=1e-12)
+
+
+def test_evolve3D_domain_adaptive_matches_single():
+    """Full evolve loop: adaptive engine under the domain mesh equals
+    the single-device adaptive evolve (chemistry shard-local)."""
+    N = 16
+    rng = np.random.RandomState(23)
+    ndens = 1e-3 * (1.0 + rng.rand(N, N, N))
+    temp = 1e4 * np.ones(N ** 3)
+    xh = 1.2e-3 * np.ones(N ** 3)
+    ns = 12
+    src = rng.randint(0, N, size=(ns, 3))
+    flux = 10 ** rng.uniform(-1, 1, ns)
+    dt = 3.0e13
+    art = _adaptive_engine(N, (3.0, 5.0), batch=2)
+    xh_s, phi_s = evolve3D(dt, DR, flux, src, art, CHEM,
+                           temp, ndens.reshape(-1), xh, quiet=True)
+    dd = DomainDecomposition(art, make_domain_mesh(2, 2, 1))
+    xh_d, phi_d = evolve3D_domain(dt, DR, flux, src, dd, CHEM,
+                                  temp, ndens, xh, quiet=True)
+    np.testing.assert_allclose(phi_d, np.asarray(phi_s).reshape(N, N, N),
+                               rtol=1e-10)
+    np.testing.assert_allclose(xh_d, np.asarray(xh_s).reshape(N, N, N),
+                               rtol=1e-10)
+
+
+def test_domain_adaptive_empty_bucket_static_structure():
+    """A bucket with no sources stages one zero-flux batch per device
+    (structure stays static across timesteps) and contributes nothing."""
+    N = 16
+    rng = np.random.RandomState(24)
+    ndens = 1e-3 * np.ones((N, N, N))
+    xh = 1.2e-3 * np.ones((N, N, N))
+    src = rng.randint(4, 12, size=(6, 3))
+    flux = np.full(6, 1e-3)                 # all faint -> smallest bucket
+    art = _adaptive_engine(N, (3.0, 6.0))
+    avg = float(np.mean(ndens))
+    batches, _ = art.prepare_sources(src, flux, dr=float(DR), avg_dens=avg)
+    assert batches.counts[-1] == 0          # largest bucket empty
+    dd = DomainDecomposition(art, make_domain_mesh(2, 2, 1))
+    srcs = dd.prepare_sources(src, flux, dr=float(DR), avg_dens=avg)
+    # empty bucket present in the interior slot as a zero-flux batch
+    assert srcs[0] is not None and srcs[0][-1] is not None
+    assert float(np.max(np.asarray(
+        srcs[1][-1].pos if hasattr(srcs[1][-1], "pos")
+        else srcs[1][-1]))) == 0.0
+    phi_s = np.asarray(art.trace(ndens, xh, src, flux, DR, avg_dens=avg))
+    phi_d = np.asarray(dd.trace(ndens, xh, src, flux, DR))
+    np.testing.assert_allclose(phi_d, phi_s, rtol=1e-13)
