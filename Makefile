@@ -7,7 +7,7 @@
 
 PY ?= python
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench warm clean
 
 all: native
 
@@ -19,6 +19,12 @@ test: native
 
 bench:
 	$(PY) bench.py
+
+# Pre-seed the persistent JAX compile cache for the production configs
+# so cold starts (driver bench, sweep rows) become cache hits instead of
+# remote-Mosaic-service bills (see docs/TPU_PERFORMANCE_NOTES.md).
+warm:
+	$(PY) scratch/warm_cache.py
 
 clean:
 	$(MAKE) -C native clean 2>/dev/null || rm -f native/*.so native/*.o

@@ -119,6 +119,50 @@ def main():
     mcell_full = updates / t_full / 1e6
     mcell_ray = updates / t_ray / 1e6
 
+    # --- single-chip roofline accounting --------------------------------
+    # Grounds the ns/cell number against the CHIP, not just the 2015 P100
+    # anchor. Per batch the pipeline's irreducible work is:
+    #   HBM bytes: kernel streams (geometry slices + 2 nhi planes/face/
+    #     shell + 1 stack plane out), the fold's stack->box pass, the
+    #     rate pass (cd + nhi in, phi out), the 4 nhi box layouts and the
+    #     per-source accumulate RMW — counted from the static shapes.
+    #   VPU transcendentals: K exp + K expm1 per swept cell (the rate
+    #     pass; the sweep's weight math is mul/add-bound).
+    # Stage lower bounds: traffic / HBM spec BW and exps / measured exp
+    # ceiling; their SUM is the no-overlap device floor (stages are
+    # dependent, so floors add rather than max).
+    g = rt.geom
+    Dc, R1, G = g.Dc, g.r_max + 1, rt.lane_pack
+    fb = 4  # f32
+    nb = -(-NS // BATCH)
+    kernel_bytes = (3 * R1 * 8 * Dc * 2 * G * Dc       # geometry slices
+                    + 6 * R1 * BATCH * Dc * Dc          # nhi face planes
+                    + 3 * BATCH * R1 * Dc * 2 * Dc      # stacks out
+                    ) * fb
+    fold_bytes = (3 * BATCH * R1 * Dc * 2 * Dc          # stacks in
+                  + BATCH * Dc ** 3) * fb               # box out
+    Ds = rt.Ds
+    rates_bytes = 3 * BATCH * Ds ** 3 * fb              # cd+nhi in, phi out
+    stage_bytes = (kernel_bytes + fold_bytes + rates_bytes
+                   + 4 * BATCH * Dc ** 3 * fb           # nhi layouts
+                   + 2 * BATCH * Ds ** 3 * fb)          # accumulate RMW
+    exps = 2 * BATCH * Ds ** 3 * bins.num_bins          # exp + expm1
+    HBM_BW = 819e9          # v5e HBM spec
+    EXP_RATE = 1.2e11       # measured v5e transcendental ceiling
+    t_bw = nb * stage_bytes / HBM_BW
+    t_exp = nb * exps / EXP_RATE
+    floor_ns = 1e9 * (t_bw + t_exp) / updates
+    roofline = {
+        "model_bytes_per_batch": stage_bytes,
+        "model_exps_per_batch": exps,
+        "effective_HBM_GBps": round(nb * stage_bytes / t_ray / 1e9, 1),
+        "HBM_spec_GBps": 819,
+        "hbm_utilization": round(nb * stage_bytes / t_ray / HBM_BW, 3),
+        "exp_per_s": round(nb * exps / t_ray / 1e9, 1),
+        "device_floor_ns_per_cell": round(floor_ns, 3),
+        "fraction_of_device_floor": round(floor_ns / ns_per_cell_ray, 3),
+    }
+
     detail = {
         "N": N, "R": R, "num_src": NS, "batch": BATCH, "dtype": "float32",
         "engine": f"pallas chebyshev-face sweep + compressed spectral "
@@ -127,6 +171,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "ns_per_cell_update_raytrace": round(ns_per_cell_ray, 3),
         "Mcell_per_s_raytrace": round(mcell_ray, 1),
+        "roofline": roofline,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(detail), file=sys.stderr)

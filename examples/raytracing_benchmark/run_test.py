@@ -133,6 +133,10 @@ def main():
         for ns in args.numsrc:
             pos_b, flux_b = rt.prepare_sources(
                 rng.randint(0, N, size=(ns, 3)), np.ones(ns))
+            # the catalog-adaptive tuner may raise (B, W) past the
+            # configured values; record what actually ran
+            b_used = int(getattr(rt, "batch_size", args.batch))
+            w_used = getattr(rt, "window_W", None)
             t0 = time.time()
             sync(call(pos_b, flux_b))           # warmup/compile
             t_compile = time.time() - t0
@@ -144,11 +148,11 @@ def main():
             t = min(ts)
             norm = t / (ns * 4.0 / 3.0 * np.pi * R ** 3)
             results["timings"][(R, ns)] = {
-                "t": t, "ns_per_cell": 1e9 * norm, "batch": args.batch,
-                "compile_s": round(t_compile, 1)}
+                "t": t, "ns_per_cell": 1e9 * norm, "batch": b_used,
+                "window": w_used, "compile_s": round(t_compile, 1)}
             print(f"R={R:6.1f} Ns={ns:7d}: {t:8.3f} s  "
                   f"{1e9*norm:8.3f} ns/cell-update  "
-                  f"(compile {t_compile:.0f}s)", flush=True)
+                  f"(B={b_used} compile {t_compile:.0f}s)", flush=True)
             _save(results, args)
     print("sweep complete")
 

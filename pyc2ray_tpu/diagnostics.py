@@ -34,6 +34,14 @@ def photon_budget(phi_ion, ndens, xh_av, src_flux, dr):
     Returns a dict with emitted and absorbed photon rates and the loss
     fraction. ``absorbed = sum(Gamma * nHI) * dr^3`` (the inverse of the
     photon-conserving division, raytracing.f90:531).
+
+    Sign convention: ``loss = 1 - absorbed/emitted``. Truncated rays
+    (LLS cutoff, adaptive radii) make it positive; a small NEGATIVE
+    value with the spectral-bin engines is the bin quadrature's rate
+    bias (absorbed integral slightly over-estimated, bounded by the
+    bins' accuracy target — ~1e-3 at the production 14-node
+    compression), not a conservation violation: the table-exact flat
+    engine logs machine-zero loss on the same fields.
     """
     phi = np.asarray(phi_ion, dtype=np.float64)
     nHI = (np.asarray(ndens, dtype=np.float64)

@@ -104,6 +104,15 @@ def run_convergence_loop(iteration, num_cells, num_src,
         if res.photon_loss is not None:
             # reference: "Photon loss: ..." per iteration (evolve.py:202)
             msg += f", photon loss fraction: {res.photon_loss:.3e}"
+            if res.photon_loss < 0:
+                # sign convention: loss = 1 - absorbed/emitted, so a
+                # NEGATIVE value means absorption slightly exceeds
+                # emission. With spectral-bin engines that is the bin
+                # quadrature's rate bias (bounded by the configured
+                # compression/GL target, e.g. ~1e-3 at the production
+                # 14-node default), not a conservation violation.
+                msg += " (absorbed > emitted: spectral-bin quadrature " \
+                       "bias, bounded by the bins' accuracy target)"
         printlog(msg, logfile, quiet)
         if (res.photon_loss is not None and loss_fraction is not None
                 and res.photon_loss > loss_fraction):

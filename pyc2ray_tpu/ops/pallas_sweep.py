@@ -62,8 +62,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cheb_sweep_pallas", "cheb_sweep_rates_pallas",
-           "pack_geometry", "pack_rates_tables"]
+__all__ = ["cheb_sweep_pallas", "cheb_sweep_seg_pallas",
+           "cheb_sweep_rates_pallas", "pack_geometry",
+           "pack_rates_tables"]
 
 
 def pack_geometry(g, dtype=np.float32, G=1):
@@ -410,6 +411,119 @@ def cheb_sweep_pallas(geom, nhi_x, nhi_y, nhi_z, dr, init_plane,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dr2d, init_plane, geom[0], geom[1], geom[2],
+      nhi_x, nhi_x, nhi_y, nhi_y, nhi_z, nhi_z)
+
+
+def _kernel_seg(r0_ref, dr_ref, x0_ref, y0_ref, z0_ref,
+                gx_ref, gy_ref, gz_ref,
+                nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
+                xs_ref, ys_ref, zs_ref, xf_ref, yf_ref, zf_ref,
+                Xp, Yp, Zp,
+                *, Dc, c, sig, G):
+    """One SEGMENT of the shell sweep: S grid steps computing shells
+    r = r0 + s from carried-in r0-1 planes; emits the segment's stacks
+    plus the final shell planes (the next segment's carry)."""
+    f32 = Xp.dtype
+    s = pl.program_id(0)
+    r = r0_ref[0] + s
+    dr = dr_ref[0, 0]
+    ops = _plane_ops(Dc, c, G)
+
+    @pl.when(s == 0)
+    def _():
+        Xp[...] = x0_ref[...]
+        Yp[...] = y0_ref[...]
+        Zp[...] = z0_ref[...]
+
+    lim = jnp.asarray(0.6, f32)
+    faces = _shell_update(r, c, Dc, ops, dr, sig, lim,
+                          gx_ref, gy_ref, gz_ref,
+                          nx_lo, nx_hi, ny_lo, ny_hi, nz_lo, nz_hi,
+                          Xp[...], Yp[...], Zp[...])
+    for f, (out_ref, fin_ref) in zip(
+            faces, ((xs_ref, xf_ref), (ys_ref, yf_ref), (zs_ref, zf_ref))):
+        out_ref[...] = f[4][:, None]
+        fin_ref[...] = f[4]
+    Xp[...] = faces[0][4]
+    Yp[...] = faces[1][4]
+    Zp[...] = faces[2][4]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "Dc", "S", "c", "sig", "G",
+                                    "interpret"))
+def cheb_sweep_seg_pallas(geom, nhi_x, nhi_y, nhi_z, dr, planes, r0,
+                          B, Dc, S, c, sig, G=1, interpret=False):
+    """One radius segment of the sweep (shells r0 .. r0+S-1).
+
+    Memory-bounded variant of ``cheb_sweep_pallas`` for large R: the
+    face stacks of a full R=100 sweep are O(R^3) HBM (~1.4 GB at 250^3)
+    and the monolithic kernel ties compile cost to R1; here the shell
+    grid is cut into K segments of S shells that all share ONE compiled
+    kernel — the segment offset ``r0`` is a scalar-prefetch operand
+    consumed by the BlockSpec index maps, so changing segments changes
+    data, not code. ``planes`` carries the r0-1 shell state between
+    segments (the first segment receives the source-cell init plane).
+    ``geom`` must be zero-padded to >= r0_max + S shells (zero geometry
+    rows have all-false masks, so overrun shells write zeros).
+
+    Returns (X, Y, Z, xf, yf, zf): segment stacks (B//G, S, Dc, 2*G*Dc)
+    and the final shell planes for the next segment's ``planes``."""
+    dt = nhi_x.dtype
+    Bg = B // G
+    GD = G * Dc
+    kern = functools.partial(_kernel_seg, Dc=Dc, c=c, sig=float(sig), G=G)
+    dr2d = jnp.asarray(dr, dt).reshape(1, 1)
+    r0a = jnp.asarray(r0, jnp.int32).reshape(1)
+
+    def lo_map(s, r0_ref):
+        return (jnp.maximum(c - (r0_ref[0] + s), 0), 0, 0, 0)
+
+    def hi_map(s, r0_ref):
+        return (jnp.minimum(c + r0_ref[0] + s, Dc - 1), 0, 0, 0)
+
+    nspec_lo = pl.BlockSpec((1, Bg, Dc, GD), lo_map,
+                            memory_space=pltpu.VMEM)
+    nspec_hi = pl.BlockSpec((1, Bg, Dc, GD), hi_map,
+                            memory_space=pltpu.VMEM)
+    g4 = pl.BlockSpec((1, 8, Dc, 2 * GD),
+                      lambda s, r0_ref: (r0_ref[0] + s, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((Bg, Dc, 2 * GD),
+                              lambda s, r0_ref: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_stack = pl.BlockSpec((Bg, 1, Dc, 2 * GD),
+                             lambda s, r0_ref: (0, s, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # dr
+            plane_spec, plane_spec, plane_spec,               # carry in
+            g4, g4, g4,                                       # geometry
+            nspec_lo, nspec_hi,
+            nspec_lo, nspec_hi,
+            nspec_lo, nspec_hi,
+        ],
+        out_specs=[out_stack] * 3 + [plane_spec] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((Bg, Dc, 2 * GD), dt),
+            pltpu.VMEM((Bg, Dc, 2 * GD), dt),
+            pltpu.VMEM((Bg, Dc, 2 * GD), dt),
+        ],
+    )
+    out_shape = ([jax.ShapeDtypeStruct((Bg, S, Dc, 2 * GD), dt)] * 3
+                 + [jax.ShapeDtypeStruct((Bg, Dc, 2 * GD), dt)] * 3)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r0a, dr2d, planes[0], planes[1], planes[2],
+      geom[0], geom[1], geom[2],
       nhi_x, nhi_x, nhi_y, nhi_y, nhi_z, nhi_z)
 
 

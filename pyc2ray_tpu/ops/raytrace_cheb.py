@@ -101,11 +101,14 @@ class ChebRaytracer:
     def __init__(self, N, R_max_LLS, sig, bins: SpectralBins,
                  batch_size=8, dtype=jnp.float32, do_heating=False,
                  use_pallas=False, fuse_rates=False, accumulate="auto",
-                 window_size=None, fuse_fold=False):
+                 window_size=None, fuse_fold=False, shell_segment="auto"):
         self.N = int(N)
         self.R_max_LLS = float(R_max_LLS)
         self.sig = float(sig)
         self.batch_size = int(batch_size)
+        self._batch_size0 = int(batch_size)   # configured base; the
+        # catalog-adaptive tuner (_adapt_window) may raise batch_size to
+        # a multiple of this per catalog-density regime
         self.dtype = dtype
         self.do_heating = bool(do_heating)
         self.use_pallas = bool(use_pallas)
@@ -183,7 +186,7 @@ class ChebRaytracer:
             # DUS pair). Measured on v5e at 250^3: R=8/Dc=24 1.27x,
             # R=12/Dc=32 1.14x, R=16/Dc=40 0.88x (fill-dependent) —
             # window wins through Dc = 32.
-            accumulate = "window" if (g.Dc <= 32 and W - g.Dc >= 8) \
+            accumulate = "window" if (g.Dc <= 32 and W - g.Dc >= 16) \
                 else "scan"
         self.accumulate = accumulate
         self.window_W = W
@@ -222,9 +225,45 @@ class ChebRaytracer:
                           or not self.use_pallas):
             gp //= 2
         self.lane_pack = gp
+        # Shell segmentation bounds the face-stack memory in R (the
+        # reference's device memory model is R-independent,
+        # src/asora/memory.cu:58-78, while the stacks here grow as
+        # O(B R^3)): large-R sweeps run as K segments of S shells
+        # through ONE compiled kernel (the segment offset is a
+        # scalar-prefetch operand — K segments change data, not code,
+        # which matters on this stack's remote Mosaic compile service).
+        # "auto" segments when the full stacks would exceed ~192 MB
+        # (R=100-class); an int forces S; 0 disables.
+        stack_bytes = (3 * self.batch_size * (g.r_max + 1) * g.Dc
+                       * 2 * g.Dc * np.dtype(
+                           np.float32 if dt == jnp.float32
+                           else np.float64).itemsize)
+        if shell_segment == "auto":
+            seg_S = 0
+            if self.use_pallas and stack_bytes > 192 * 1024 * 1024:
+                per_shell = stack_bytes // (g.r_max + 1)
+                seg_S = max(8, int((192 * 1024 * 1024) // per_shell))
+        else:
+            seg_S = int(shell_segment or 0)
+        if seg_S >= g.r_max + 1:
+            seg_S = 0
+        self.seg_S = seg_S
+        self.seg_K = -(-g.r_max // seg_S) if seg_S else 0
+        if self.seg_S and (self.fuse_rates or self.fuse_fold):
+            raise ValueError("shell segmentation does not compose with "
+                             "fuse_rates/fuse_fold")
         from .pallas_sweep import pack_geometry, pack_rates_tables
         np_dt = np.float32 if dt == jnp.float32 else np.float64
         geom_np = pack_geometry(g, np_dt, G=self.lane_pack)
+        if self.seg_S:
+            # zero-pad the shell axis so every segment's geometry block
+            # exists (rows past r_max have all-false masks -> overrun
+            # shells write zeros)
+            rp = self.seg_K * self.seg_S + 1
+            pad = rp - geom_np.shape[1]
+            if pad > 0:
+                geom_np = np.pad(geom_np,
+                                 ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
         rt_np = pack_rates_tables(g, float(R_max_LLS) ** 2, np_dt)
         sub3 = (slice(self._rb0, self._rb1),) * 3
         self.tables = ChebTables(
@@ -272,7 +311,9 @@ class ChebRaytracer:
         if self.accumulate != "window":
             return None
         W = min(self.window_W, min(int(d) for d in dims))
-        return W if W - self.geom.Dc >= 8 else None
+        # span < 16 is pathological on v5e (see _adapt_window) — scan
+        # beats a too-tight window there
+        return W if W - self.geom.Dc >= 16 else None
 
     @staticmethod
     def _allowed_runs(p, B):
@@ -286,8 +327,10 @@ class ChebRaytracer:
         p32 = np.ascontiguousarray(p, dtype=np.int32)
         pad = np.concatenate([p32, np.repeat(p32[-1:], B - 1, axis=0)], 0)
         out = np.empty((ns, B), dtype=np.int32)
-        step = 1 << 17          # chunked: the window view's running
-        for i0 in range(0, ns, step):   # extrema are (rows, 3, B) temps
+        # chunked: the window view's running extrema are (rows, 3, B)
+        # temps; scale the chunk down with B to bound them ~200 MB
+        step = max(1 << 12, (1 << 24) // max(B, 1))
+        for i0 in range(0, ns, step):
             i1 = min(ns, i0 + step)
             win = np.lib.stride_tricks.sliding_window_view(
                 pad[i0:i1 + B - 1], B, axis=0)
@@ -314,45 +357,65 @@ class ChebRaytracer:
             i += k
         return sizes
 
-    # window-W cost model (v5e-measured shape): per batch, a fixed part
-    # (sweep kernel + rate pass + fold/relayouts ~ 330 us at Dc=24) plus
-    # a window part (placement/extraction einsums + the (W,W,W) RMW)
-    # scaling ~ (W/56)^3 ~ 150 us at W=56. Used only to RANK candidate
-    # windows; both terms are per-batch so only their ratio matters.
-    _WCOST_FIXED = 330.0
+    # window-regime cost model (v5e-measured, r05 lane-packed kernel):
+    # per batch, a fixed part (dispatch, window RMW pair, staging
+    # ~ 41 us), a per-source part (sweep kernel + rates + fold
+    # ~ 9.8 us/src at Dc=24) and a window part (placement/extraction
+    # einsums scaling ~ (W/56)^3 ~ 150 us at W=56). Calibrated against
+    # the R=10/Ns=1e6 B x W grid (scratch/r10_bw_sweep_r05.py: B=24/32/
+    # 48/64 at W=40 -> 0.33/0.43/0.57/0.72 ms/batch). Used only to RANK
+    # candidate (B, W) pairs.
+    _WCOST_FIXED = 41.0
+    _WCOST_SRC = 9.8
     _WCOST_W56 = 150.0
 
     def _adapt_window(self, src_pos):
-        """Pick the smallest window that keeps the packing dense.
+        """Pick the (batch, window) pair that keeps the packing dense.
 
-        The auto default (Dc+32) is tuned for ~1e5-source catalogs; a
-        denser catalog packs full batches into a much smaller span, and
-        every cell of W costs W^3-scaling einsum + RMW volume. Evaluates
-        the real packing (cheap, host-side) for a few candidate spans
-        and keeps the cost-model argmin. Changing W changes traced
-        shapes, so at most one extra compile per (catalog density
-        regime) — cached thereafter."""
+        The auto defaults are tuned for ~1e5-source catalogs; a denser
+        catalog packs full batches into a much smaller span (every cell
+        of W costs W^3-scaling einsum + RMW volume) and amortizes the
+        per-batch fixed cost over a LARGER batch (B=64 measured 2.68 vs
+        B=32's 3.22 ns/cell at the R=10/Ns=1e6 row — the lane-packed
+        kernel moved the optimum up). Evaluates the real packing
+        (cheap, host-side: one rolling-span pass at the largest
+        candidate B, sliced per candidate) and keeps the cost-model
+        argmin over B in {B0, 2B0, 4B0} and four window spans. Changing
+        (B, W) changes traced shapes, so at most one extra compile per
+        catalog-density regime — cached thereafter."""
         pos = np.asarray(src_pos, dtype=np.int64).reshape(-1, 3)
-        B = self.batch_size
+        B0 = self._batch_size0
         ns = len(pos)
-        if ns < 4 * B:
+        if ns < 4 * B0:
             return None
         g = self.geom
         pad_full = self.N + g.Dc - 1
         order = np.argsort(_morton_code(pos), kind="stable")
-        spans = self._allowed_runs(pos[order], B)
-        best = (np.inf, self.window_W)
-        for dW in (8, 16, 24, 32):
-            Wc = min(-(-(g.Dc + dW) // 8) * 8, pad_full)
-            if Wc - g.Dc < 8:
-                continue
-            nb = len(self._greedy_walk(spans, Wc - g.Dc, B, ns))
-            cost = nb * (self._WCOST_FIXED
-                         + self._WCOST_W56 * (Wc / 56.0) ** 3)
-            if cost < best[0]:
-                best = (cost, Wc)
+        # cap 96: B=128 measured worse than 96 in every probe (2.77 vs
+        # 2.48 fixed-config, 2.66 via the tuner at the 1e6 row) — fill
+        # decay plus VMEM pressure outpace the fixed-cost amortization
+        cand_B = [m * B0 for m in (1, 2, 3, 4)
+                  if m * B0 <= 96 and m * B0 <= ns]
+        spans_max = self._allowed_runs(pos[order], max(cand_B))
+        best = (np.inf, self.window_W, self.batch_size)
+        for B in cand_B:
+            spans = spans_max[:, :B]
+            # dW = 8 (span 8) is EXCLUDED: measured pathological on v5e
+            # even at perfect fill (B=64/W=32: 6.13 vs W=40's 2.68
+            # ns/cell at the R=10/Ns=1e6 row; r04 saw the same cliff at
+            # B=32) — the cost model must never be allowed to pick it.
+            for dW in (16, 24, 32):
+                Wc = min(-(-(g.Dc + dW) // 8) * 8, pad_full)
+                if Wc - g.Dc < 16:
+                    continue
+                nb = len(self._greedy_walk(spans, Wc - g.Dc, B, ns))
+                cost = nb * (self._WCOST_FIXED + self._WCOST_SRC * B
+                             + self._WCOST_W56 * (Wc / 56.0) ** 3)
+                if cost < best[0]:
+                    best = (cost, Wc, B)
         self.window_W = best[1]
-        return order, spans
+        self.batch_size = best[2]
+        return order, spans_max[:, :best[2]]
 
     def _prepare_sources_packed(self, src_pos, src_flux, W=None,
                                 allow_fallback=True, presorted=None):
@@ -535,6 +598,8 @@ class ChebRaytracer:
         per-source flux factor and the source-cell rate are applied by
         the caller); otherwise it holds coldensh_out."""
         from .pallas_sweep import cheb_sweep_pallas
+        if self.seg_S and not fuse_rates:
+            return self._sweep_pallas_segmented(tb, nhi_box, dr, sig=sig)
         g = self.geom
         B = nhi_box.shape[0]
         Dc, c = g.Dc, g.c
@@ -574,6 +639,83 @@ class ChebRaytracer:
             interpret=self._pallas_interpret)
         center_val = jnp.zeros_like(src_cd) if fuse_rates else src_cd
         return self._fold_stacks_packed(X, Y, Z, center_val)
+
+    def _sweep_pallas_segmented(self, tb, nhi_box, dr, sig=None):
+        """Radius-segmented Pallas sweep for large R: the shell grid is
+        cut into K segments of S shells (seg_S/seg_K, set in __init__),
+        each run through the ONE compiled segment kernel with the
+        previous segment's final planes as carry, and each segment's
+        stacks folded into the cartesian box immediately — peak HBM is
+        the box plus ONE segment's stacks, O(B Dc^3 + B S Dc^2), versus
+        O(B R1 Dc^2) for the monolithic stacks (~1.4 GB at R=100 on
+        250^3, which OOMed the r04 attempts; BENCH_SWEEP_r04
+        "missing")."""
+        from .pallas_sweep import cheb_sweep_seg_pallas
+        g = self.geom
+        B = nhi_box.shape[0]
+        Dc, c = g.Dc, g.c
+        G = self.lane_pack if B % self.lane_pack == 0 else 1
+        Bg = B // G
+        GD = G * Dc
+        S, K = self.seg_S, self.seg_K
+        dt = self.dtype
+
+        def pack(n_t):
+            if G == 1:
+                return n_t
+            return n_t.reshape(Dc, Bg, G, Dc, Dc) \
+                      .transpose(0, 1, 3, 2, 4) \
+                      .reshape(Dc, Bg, Dc, GD)
+
+        nx = pack(jnp.transpose(nhi_box, (1, 0, 2, 3)))
+        ny = pack(jnp.transpose(nhi_box, (2, 0, 1, 3)))
+        nz = pack(jnp.transpose(nhi_box, (3, 0, 1, 2)))
+        src_cd = nhi_box[:, c, c, c] * (0.5 * dr)
+        ar = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 0)
+        br = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 1)
+        center = (ar == c) & (br % Dc == c)
+        gmap = (np.arange(2 * GD) % GD) // Dc
+        vals = src_cd.reshape(Bg, G)[:, gmap]
+        init = jnp.where(center[None], vals[:, None, :], 0.0).astype(dt)
+        planes = (init, init, init)
+
+        def unseg(Sh):
+            if G == 1:
+                return Sh
+            return Sh.reshape(Bg, S, Dc, G, Dc) \
+                     .transpose(0, 3, 1, 2, 4) \
+                     .reshape(B, S, Dc, Dc)
+
+        def add_planes(box, piece, lo, orient):
+            n = piece.shape[1]
+            if orient == 0:                       # x: planes along i
+                return box.at[:, lo:lo + n, :, :].add(piece)
+            if orient == 1:                       # y: (B, j, i, k)
+                return box.at[:, :, lo:lo + n, :].add(
+                    jnp.transpose(piece, (0, 2, 1, 3)))
+            return box.at[:, :, :, lo:lo + n].add(  # z: (B, k, i, j)
+                jnp.transpose(piece, (0, 2, 3, 1)))
+
+        box = jnp.zeros((B, Dc, Dc, Dc), dt)
+        for k in range(K):
+            r0 = 1 + k * S
+            out = cheb_sweep_seg_pallas(
+                (tb.geom_x, tb.geom_y, tb.geom_z), nx, ny, nz, dr,
+                planes, r0, B=B, Dc=Dc, S=S, c=c,
+                sig=(self.sig if sig is None else float(sig)), G=G,
+                interpret=self._pallas_interpret)
+            planes = out[3:]
+            for orient, St in enumerate(out[:3]):
+                Sm = unseg(St[..., :GD])
+                Sp = unseg(St[..., GD:])
+                n_dn = int(np.clip(c - r0 + 1, 0, S))
+                if n_dn > 0:
+                    box = add_planes(box, jnp.flip(Sm[:, :n_dn], 1),
+                                     c - r0 - n_dn + 1, orient)
+                n_up = int(np.clip(Dc - c - r0, 0, S))
+                if n_up > 0:
+                    box = add_planes(box, Sp[:, :n_up], c + r0, orient)
+        return box.at[:, c, c, c].set(src_cd)
 
     def _source_cell_rate(self, nhi_box, flux, dr, bins_static=None):
         """Gamma of the source cell itself (tau_in = 0, vol = dr^3;

@@ -31,19 +31,21 @@ __all__ = ["trace_sharded", "global_pass_sharded", "evolve3D_sharded",
            "evolve3D_he_sharded", "prepare_sources_sharded"]
 
 
-def _pad_batches_to_devices(pos, flx, n_dev, B):
+def _pad_batches_to_devices(pos, flx, n_dev, B=None):
     """Pad (nb, B, ...) batch arrays to a multiple of n_dev batches.
     Padding batches repeat the last positions with zero flux (swept but
     contributing nothing), mirroring the remainder handling of the
     reference's per-rank split (evolve.py:361-371) without the imbalance
-    of giving the remainder to the last rank."""
+    of giving the remainder to the last rank. The batch width is read
+    off the arrays (the catalog-adaptive tuner may have raised it past
+    the engine's configured batch_size)."""
     nb = pos.shape[0]
     nbp = -(-nb // n_dev) * n_dev
     if nbp > nb:
         pos = np.concatenate(
             [pos, np.repeat(pos[-1:], nbp - nb, axis=0)], axis=0)
         flx = np.concatenate(
-            [flx, np.zeros((nbp - nb, B), flx.dtype)], axis=0)
+            [flx, np.zeros((nbp - nb, flx.shape[1]), flx.dtype)], axis=0)
     return pos, flx
 
 

@@ -138,19 +138,28 @@ def test_adaptive_model_source_mesh_matches_single(tmp_path):
                                np.asarray(sim_s.phi_ion), rtol=1e-11)
 
 
-def test_adaptive_under_domain_mesh_raises_clearly(tmp_path):
-    """engine: adaptive + the domain mesh must raise an actionable
-    error (owner-local bucketing is not built), not an AttributeError."""
+def test_adaptive_model_domain_mesh_matches_single(tmp_path):
+    """engine: adaptive under the ("di","dj","dk") domain mesh
+    (owner-local bucketing — was a capability error through round 4)
+    must reproduce the single-device evolve."""
     import jax
     import pytest
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     from pyc2ray_tpu.parallel import make_domain_mesh
 
-    sim = _mk_adaptive_sim(tmp_path, make_domain_mesh(2, 2, 2))
-    with pytest.raises(NotImplementedError, match="domain mesh"):
-        sim.evolve3D(1e13, np.ones(1),
-                     np.array([[4.0], [4.0], [4.0]]))
+    dt = 1e13
+    flux = np.ones(3)
+    pos = np.array([[4.0, 2.0, 7.0], [4.0, 6.0, 1.0], [4.0, 3.0, 5.0]])
+    sim_s = _mk_adaptive_sim(tmp_path / "single", None)
+    sim_s.evolve3D(dt, flux, pos)
+    sim_d = _mk_adaptive_sim(tmp_path / "dmesh",
+                             make_domain_mesh(2, 2, 2))
+    sim_d.evolve3D(dt, flux, pos)
+    np.testing.assert_allclose(np.asarray(sim_d.xh),
+                               np.asarray(sim_s.xh), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sim_d.phi_ion),
+                               np.asarray(sim_s.phi_ion), rtol=1e-10)
 
 
 def test_subbox_keys_steer_bucket_policy(tmp_path):

@@ -322,3 +322,64 @@ def test_vectorized_packing_edge_cases():
             p = np.asarray(pb.pos)
             span = p.max(axis=1) - p.min(axis=1)
             assert span.max() <= span_max
+
+
+def test_lane_packed_kernel_matches_xla():
+    """Multi-source lane packing (G sources per kernel plane,
+    lane = sign*G*Dc + g*Dc + b) must be BIT-identical to the XLA
+    sweep for G in {2, 4} across scan and window accumulates."""
+    N = 40
+    rng = np.random.RandomState(31)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.5, (N, N, N))
+    src = rng.randint(0, N, size=(20, 3))
+    flux = rng.uniform(0.5, 3.0, 20)
+    for R, B, acc, G_want in ((4.0, 8, "scan", 4), (8.0, 8, "scan", 2),
+                              (10.0, 16, "window", 2)):
+        rx = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=B,
+                           dtype=jnp.float64, accumulate=acc)
+        rp = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=B,
+                           dtype=jnp.float64, accumulate=acc,
+                           use_pallas=True)
+        assert rp.lane_pack == G_want, (R, rp.geom.Dc, rp.lane_pack)
+        phi_x = np.asarray(rx.trace(ndens, xh, src, flux, DR))
+        phi_p = np.asarray(rp.trace(ndens, xh, src, flux, DR))
+        np.testing.assert_array_equal(phi_p, phi_x)
+
+
+def test_segmented_sweep_matches_xla():
+    """Shell-segmented sweep (memory-bounded large-R path): K segments
+    through one kernel with carried shell planes must be BIT-identical
+    to the monolithic XLA sweep — including a ragged last segment and
+    combined with lane packing."""
+    N = 40
+    rng = np.random.RandomState(32)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.5, (N, N, N))
+    src = rng.randint(0, N, size=(6, 3))
+    flux = rng.uniform(0.5, 3.0, 6)
+    for R, S in ((14.0, 5), (14.0, 4), (18.0, 18)):
+        rx = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=2,
+                           dtype=jnp.float64)
+        rs = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=2,
+                           dtype=jnp.float64, use_pallas=True,
+                           shell_segment=S)
+        if S <= rs.geom.r_max:
+            assert rs.seg_S == S and rs.seg_K == -(-rs.geom.r_max // S)
+        phi_x = np.asarray(rx.trace(ndens, xh, src, flux, DR))
+        phi_s = np.asarray(rs.trace(ndens, xh, src, flux, DR))
+        np.testing.assert_array_equal(phi_s, phi_x)
+
+
+def test_segmentation_auto_thresholds():
+    """auto mode: off at production radii, on when the monolithic
+    stacks would exceed the budget; S*K covers r_max."""
+    rt = ChebRaytracer(64, 30.0, SIG, grey_bins(), batch_size=8,
+                       dtype=jnp.float32, use_pallas=True)
+    assert rt.seg_S == 0
+    big = ChebRaytracer(250, 100.0, SIG, grey_bins(), batch_size=4,
+                        dtype=jnp.float32, use_pallas=True)
+    assert big.seg_S > 0 and big.seg_S * big.seg_K >= big.geom.r_max
+    # stacks per segment bounded by the 192 MB budget
+    per_shell = 3 * 4 * big.geom.Dc * 2 * big.geom.Dc * 4
+    assert big.seg_S * per_shell <= 192 * 1024 * 1024
