@@ -46,7 +46,7 @@ _DEFAULTS = {
     "Grid": {"resume": 0},
     "Photo": {"compute_heating_rates": 0, "grey": 0,
               "SourceType": "blackbody", "secondary_ionization": 0,
-              "recombination_photons": 0},
+              "secondary_ramp": 0, "recombination_photons": 0},
     "Raytracing": {"source_batch_size": 8, "convergence_fraction": 1e-4,
                    "loss_fraction": 1e-2, "subboxsize": 150,
                    "max_subbox": 1000, "dtype": "float64",
@@ -344,6 +344,7 @@ class C2RaySimulation:
         self.compute_heating_rates = bool(ld["Photo"]["compute_heating_rates"])
         self.secondary_ionization = bool(
             ld["Photo"]["secondary_ionization"])
+        self.secondary_ramp = bool(ld["Photo"]["secondary_ramp"])
         self.recombination_photons = bool(
             ld["Photo"]["recombination_photons"])
 
@@ -494,6 +495,21 @@ class C2RaySimulation:
                       nu, s, pl=pl[s]))
             nu_he1 = ev2fr * HE_EDGES_EV[1]
             nu_lya2 = ev2fr * 40.8
+            # opt-in energy ramp on the SvS secondary fractions
+            # (radiation.helium.secondary_ramps; soft-SED correction)
+            ramps = (1.0, 1.0)
+            if self.secondary_ramp:
+                if not self.secondary_ionization:
+                    raise ValueError(
+                        "Photo.secondary_ramp: 1 modifies the secondary-"
+                        "ionization channel; set Photo."
+                        "secondary_ionization: 1 too (or drop the ramp)")
+                from ..radiation.helium import secondary_ramps
+                ramps = secondary_ramps(bins, self.abu_he)
+                self.printlog(
+                    f"Secondary-ionization energy ramps (SED-averaged "
+                    f"threshold interpolation): f_ion,HI x "
+                    f"{ramps[0]:.3f}, f_ion,HeI x {ramps[1]:.3f}")
             self.chem_he = HeChemistryParams(
                 chem=self.chem, abu_he=self.abu_he,
                 secondary=self.secondary_ionization,
@@ -501,7 +517,9 @@ class C2RaySimulation:
                 sig_h_he1=float(cs(nu_he1, 0)),
                 sig_he1_he1=float(cs(nu_he1, 1)),
                 sig_h_lya2=float(cs(nu_lya2, 0)),
-                sig_he1_lya2=float(cs(nu_lya2, 1)))
+                sig_he1_lya2=float(cs(nu_lya2, 1)),
+                sec_ramp_hi=float(ramps[0]),
+                sec_ramp_hei=float(ramps[1]))
             # He ionization state (xHeII, xHeIII fractions)
             if not hasattr(self, "xhe1"):
                 self.xhe1 = np.full(self.shape, 1e-3)

@@ -57,8 +57,15 @@ ionization), the clipped energy is dropped rather than redirected to
 heat — energy is not conserved under the cap; (2) the SvS fractions
 are asymptotic (valid for photoelectrons above ~100 eV) and are applied
 band-wide, so soft SEDs (low-Teff blackbodies whose photoelectrons
-carry only a few eV) overestimate secondary ionization; an
-energy-dependent ramp (Ricotti et al. 2002) is not implemented.
+carry only a few eV) overestimate secondary ionization. Limit (2) has
+an opt-in correction: ``Photo.secondary_ramp`` multiplies the SvS
+fractions by SED-averaged threshold ramps r_i(E) = max(0, 1 - E_th,i/E)
+(radiation.helium.secondary_ramps; exactly zero below threshold, -> 1
+asymptotically where SvS was calibrated — the energy-conservation
+interpolation whose fitted refinement is Ricotti, Gnedin & Shull 2002).
+The suppressed ionization energy is NOT re-added to the thermal
+channel (bounded by f_ion <= 0.39 of the deposition); off by default,
+preserving the plain band-wide SvS behavior.
 """
 
 from functools import partial
@@ -161,6 +168,15 @@ class HeChemistryParams(NamedTuple):
     sig_he1_he1: float = 7.43e-18  # sigma_HeI(24.59 eV)
     sig_h_lya2: float = 2.9e-19    # sigma_HI(40.8 eV)
     sig_he1_lya2: float = 2.95e-18  # sigma_HeI(40.8 eV)
+    # energy-dependent secondary-ionization ramps (opt-in,
+    # Photo.secondary_ramp): SED-averaged factors in [0, 1] multiplying
+    # the SvS f_ion fractions, from radiation.helium.secondary_ramps —
+    # the threshold interpolation r_i(E) = max(0, 1 - E_th,i/E)
+    # addressing scope limit #2 above (soft SEDs overestimate secondary
+    # ionization when the asymptotic fits are applied band-wide).
+    # Default 1.0 = the plain band-wide SvS behavior.
+    sec_ramp_hi: float = 1.0
+    sec_ramp_hei: float = 1.0
 
 
 def _expm2(A11, A12, A21, A22, b1, b2, u1, u2, dt):
@@ -337,8 +353,9 @@ def global_pass_he(dt, ndens, temp, xh, xh_av, y1, y1_av, y2, y2_av,
         ph, phe1 = phi_h, phi_he1
         if heat is not None:
             f_hi, f_hei = secondary_ionization_fractions(xav)
-            ph = phi_h + f_hi * heat / _ETH_ERG[0]
-            phe1 = phi_he1 + f_hei * dep_over_nhei / _ETH_ERG[1]
+            ph = phi_h + p.sec_ramp_hi * f_hi * heat / _ETH_ERG[0]
+            phe1 = phi_he1 + p.sec_ramp_hei * f_hei \
+                * dep_over_nhei / _ETH_ERG[1]
         if recombination_photons:
             # on-the-spot recycling at the CURRENT iterated state (the
             # rates refreeze each outer iteration, like ne)

@@ -34,7 +34,8 @@ import numpy as np
 from ..constants import hplanck, ev2fr, S_STAR_REF
 
 __all__ = ["HE_EDGES_EV", "SIGMA_TH", "HeSpectralBins",
-           "make_spectral_bins_he", "cross_section", "verner_cross_section"]
+           "make_spectral_bins_he", "secondary_ramps", "cross_section",
+           "verner_cross_section"]
 
 # ionization thresholds (eV) and threshold cross sections (cm^2)
 HE_EDGES_EV = (13.598, 24.587, 54.416)
@@ -86,6 +87,53 @@ class HeSpectralBins(NamedTuple):
     w_heat: np.ndarray     # (3, E) heating weights (erg)/S_star per species
     num_bins: int
     sigma_th: tuple        # (3,) threshold cross sections (cm^2)
+    nu: np.ndarray = None  # (E,) bin frequencies (Hz); None in dummies
+
+
+def secondary_ramps(bins: HeSpectralBins, abu_he):
+    """SED-averaged energy ramps for the secondary-ionization channel.
+
+    The Shull & van Steenberg (1985) fractions are asymptotic (valid
+    for photoelectrons >~ 100 eV); applied band-wide they overestimate
+    secondary ionization for soft SEDs whose photoelectrons carry only
+    a few eV (ops/chemistry_he.py scope limit #2). This computes, per
+    TARGET species i in (HI, HeI), the deposition-weighted average of
+    the threshold ramp
+
+        r_i(E_e) = max(0, 1 - E_th,i / E_e)
+
+    over the source spectrum's photoelectron energies E_e = h(nu -
+    nu_th,s) of each absorbing species s, weighted by the neutral
+    primordial absorption shares n_s sigma_s(nu) (n = (1, abu_he, 0))
+    times the heating weights. r_i is the energy-conservation
+    interpolation — exactly zero below the target's ionization
+    threshold (such an electron CANNOT ionize), monotone, -> 1
+    asymptotically where the SvS fits were calibrated; the Ricotti,
+    Gnedin & Shull (2002) fitted ramps are the refinement of the same
+    limit. Evaluated on the UNATTENUATED spectrum: with depth the
+    spectrum hardens, so the true per-cell factor lies in
+    [ramp_i, 1] — the average is conservative at depth.
+
+    Returns (ramp_HI, ramp_HeI) floats in [0, 1]."""
+    if bins.nu is None:
+        raise ValueError("bins carry no frequencies (nu=None)")
+    edges_nu = np.array([ev2fr * e for e in HE_EDGES_EV])
+    eth_erg = hplanck * edges_nu
+    n0 = np.array([1.0, float(abu_he), 0.0])
+    # absorption share of species s at each bin
+    sig = bins.s * np.asarray(bins.sigma_th)[:, None]     # (3, E)
+    share = n0[:, None] * sig
+    share = share / np.maximum(share.sum(0, keepdims=True), 1e-300)
+    e_e = hplanck * np.maximum(bins.nu[None, :] - edges_nu[:, None],
+                               0.0)                       # (3, E)
+    w = share * bins.w_heat                               # (3, E)
+    out = []
+    for i in range(2):
+        r = np.where(e_e > eth_erg[i], 1.0 - eth_erg[i]
+                     / np.maximum(e_e, 1e-300), 0.0)
+        tot = w.sum()
+        out.append(float((w * r).sum() / tot) if tot > 0 else 1.0)
+    return tuple(out)
 
 
 def make_spectral_bins_he(source, S_star_ref=S_STAR_REF,
@@ -141,4 +189,4 @@ def make_spectral_bins_he(source, S_star_ref=S_STAR_REF,
         w_heat[sp] = w_photo * hplanck * np.maximum(
             nu - edges_nu[sp], 0.0)
     return HeSpectralBins(s=s, w_photo=w_photo, w_heat=w_heat,
-                          num_bins=nu.shape[0], sigma_th=sigma_th)
+                          num_bins=nu.shape[0], sigma_th=sigma_th, nu=nu)

@@ -373,3 +373,73 @@ def test_recycling_fractions_vs_dense_spectrum_integration():
     y_single = nhi * PHE.sig_h_he1 / (nhi * PHE.sig_h_he1
                                       + nhei * PHE.sig_he1_he1)
     assert abs(y_single - y_dense) / y_dense < 0.05
+
+
+def test_secondary_ramp_limits_and_monotonicity():
+    """radiation.helium.secondary_ramps: exactly zero when every
+    photoelectron is below the target threshold, -> 1 for a very hard
+    SED, and monotone in SED hardness."""
+    from pyc2ray_tpu.radiation.helium import (make_spectral_bins_he,
+                                              secondary_ramps)
+    from pyc2ray_tpu.radiation import BlackBodySource
+    from pyc2ray_tpu.constants import ev2fr
+
+    ramps = []
+    for T in (3e4, 5e4, 1e5, 1e6):
+        bins = make_spectral_bins_he(
+            BlackBodySource(T, False, ev2fr * 13.598, 2.8))
+        r = secondary_ramps(bins, 0.074)
+        assert 0.0 <= r[1] <= r[0] <= 1.0   # HeI threshold is higher
+        ramps.append(r)
+    for a, b in zip(ramps, ramps[1:]):      # harder SED -> larger ramp
+        assert b[0] > a[0] and b[1] > a[1]
+    assert ramps[-1][0] > 0.85              # asymptotic regime
+    assert ramps[0][0] < 0.02               # soft SED: suppressed
+
+    # synthetic monochromatic bin just above the HI edge: every
+    # photoelectron carries 1 eV < E_th -> both ramps exactly zero
+    from pyc2ray_tpu.radiation.helium import HE_EDGES_EV, HeSpectralBins
+    import numpy as _np
+    nu = _np.array([ev2fr * (HE_EDGES_EV[0] + 1.0)])
+    soft = HeSpectralBins(s=_np.array([[1.0], [0.0], [0.0]]),
+                          w_photo=_np.ones(1),
+                          w_heat=_np.array([[1.0], [0.0], [0.0]]),
+                          num_bins=1, sigma_th=(1e-18,) * 3, nu=nu)
+    r = secondary_ramps(soft, 0.074)
+    assert r == (0.0, 0.0)
+
+
+def test_global_pass_he_secondary_ramp_scales_rate():
+    """sec_ramp_* scale the secondary ionization rates linearly; ramp=1
+    reproduces the plain SvS behavior bit-for-bit."""
+    sh = (8,)
+    dt = 1e4
+    ndens = jnp.full(sh, 1e-12, jnp.float64)
+    temp = jnp.full(sh, 100.0, jnp.float64)
+    x0 = jnp.full(sh, 0.01, jnp.float64)
+    y10 = jnp.full(sh, 0.005, jnp.float64)
+    y20 = jnp.zeros(sh, jnp.float64)
+    zero = jnp.zeros(sh, jnp.float64)
+    heat = jnp.full(sh, 1e-26, jnp.float64)
+
+    base = global_pass_he(dt, ndens, temp, x0, x0, y10, y10, y20, y20,
+                          zero, zero, zero, PHE, heat=heat)
+    one = global_pass_he(
+        dt, ndens, temp, x0, x0, y10, y10, y20, y20, zero, zero, zero,
+        PHE._replace(sec_ramp_hi=1.0, sec_ramp_hei=1.0), heat=heat)
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(one[0]))
+
+    half = global_pass_he(
+        dt, ndens, temp, x0, x0, y10, y10, y20, y20, zero, zero, zero,
+        PHE._replace(sec_ramp_hi=0.5, sec_ramp_hei=0.25), heat=heat)
+    dx_base = np.asarray(base[0]) - 0.01
+    dx_half = np.asarray(half[0]) - 0.01
+    np.testing.assert_allclose(dx_half, 0.5 * dx_base, rtol=1e-3)
+    dy_base = np.asarray(base[2]) - 0.005
+    dy_half = np.asarray(half[2]) - 0.005
+    np.testing.assert_allclose(dy_half, 0.25 * dy_base, rtol=1e-3)
+
+    off = global_pass_he(
+        dt, ndens, temp, x0, x0, y10, y10, y20, y20, zero, zero, zero,
+        PHE._replace(sec_ramp_hi=0.0, sec_ramp_hei=0.0), heat=heat)
+    np.testing.assert_allclose(np.asarray(off[0]), 0.01, rtol=1e-10)
