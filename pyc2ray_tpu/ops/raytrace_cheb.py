@@ -232,15 +232,19 @@ class ChebRaytracer:
         # through ONE compiled kernel (the segment offset is a
         # scalar-prefetch operand — K segments change data, not code,
         # which matters on this stack's remote Mosaic compile service).
-        # "auto" segments when the full stacks would exceed ~192 MB
-        # (R=100-class); an int forces S; 0 disables.
+        # "auto" segments when the full stacks would exceed ~768 MB:
+        # R=100/B=4 (419 MB) measured FASTER monolithic (1.02 vs the
+        # segmented 1.67 ns/cell — 3 launches + carry + per-segment box
+        # assembly cost ~0.65 ns), while the r04 OOM class (B=16 at
+        # R=100: 1.7 GB) segments. Each segment's stacks are bounded at
+        # ~192 MB. An int forces S; 0 disables.
         stack_bytes = (3 * self.batch_size * (g.r_max + 1) * g.Dc
                        * 2 * g.Dc * np.dtype(
                            np.float32 if dt == jnp.float32
                            else np.float64).itemsize)
         if shell_segment == "auto":
             seg_S = 0
-            if self.use_pallas and stack_bytes > 192 * 1024 * 1024:
+            if self.use_pallas and stack_bytes > 768 * 1024 * 1024:
                 per_shell = stack_bytes // (g.r_max + 1)
                 seg_S = max(8, int((192 * 1024 * 1024) // per_shell))
         else:

@@ -372,14 +372,19 @@ def test_segmented_sweep_matches_xla():
 
 
 def test_segmentation_auto_thresholds():
-    """auto mode: off at production radii, on when the monolithic
-    stacks would exceed the budget; S*K covers r_max."""
+    """auto mode: off at production radii AND at the R=100/B=4 class
+    (monolithic measured faster, 419 MB stacks fit); on when the
+    monolithic stacks would exceed ~768 MB (the r04 OOM class);
+    S*K covers r_max and each segment's stacks stay under 192 MB."""
     rt = ChebRaytracer(64, 30.0, SIG, grey_bins(), batch_size=8,
                        dtype=jnp.float32, use_pallas=True)
     assert rt.seg_S == 0
-    big = ChebRaytracer(250, 100.0, SIG, grey_bins(), batch_size=4,
+    mono = ChebRaytracer(250, 100.0, SIG, grey_bins(), batch_size=4,
+                         dtype=jnp.float32, use_pallas=True)
+    assert mono.seg_S == 0
+    big = ChebRaytracer(250, 100.0, SIG, grey_bins(), batch_size=16,
                         dtype=jnp.float32, use_pallas=True)
     assert big.seg_S > 0 and big.seg_S * big.seg_K >= big.geom.r_max
     # stacks per segment bounded by the 192 MB budget
-    per_shell = 3 * 4 * big.geom.Dc * 2 * big.geom.Dc * 4
+    per_shell = 3 * 16 * big.geom.Dc * 2 * big.geom.Dc * 4
     assert big.seg_S * per_shell <= 192 * 1024 * 1024
