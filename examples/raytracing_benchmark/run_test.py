@@ -134,9 +134,11 @@ def main():
             pos_b, flux_b = rt.prepare_sources(
                 rng.randint(0, N, size=(ns, 3)), np.ones(ns))
             # the catalog-adaptive tuner may raise (B, W) past the
-            # configured values; record what actually ran
-            b_used = int(getattr(rt, "batch_size", args.batch))
-            w_used = getattr(rt, "window_W", None)
+            # configured values; record what actually ran (the He
+            # engine delegates staging to its host engine)
+            core = getattr(rt, "eng", rt)
+            b_used = int(getattr(core, "batch_size", args.batch))
+            w_used = getattr(core, "window_W", None)
             t0 = time.time()
             sync(call(pos_b, flux_b))           # warmup/compile
             t_compile = time.time() - t0

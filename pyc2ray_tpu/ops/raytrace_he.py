@@ -70,6 +70,12 @@ class HeRaytracer:
                                  window_size=window_size)
         self.N = self.eng.N
         self.batch_size = self.eng.batch_size
+        # catalog-adaptive (B, W) tuner: the three-species engine does
+        # ~3x the H engine's per-source work (3 sweeps + 3 accumulate
+        # channels + 3-species rates), so scale the per-source term of
+        # the host engine's v5e cost model accordingly — with the H
+        # constant the tuner over-raises B for He catalogs
+        self.eng._WCOST_SRC = 3.0 * type(self.eng)._WCOST_SRC
         self.dtype = dtype
         # staging delegation: the parallel paths (prepare_sources_sharded,
         # DomainDecomposition.prepare_sources) drive the window packing
