@@ -183,7 +183,7 @@ if args.engine in ("cheb", "pallas"):
     # cells where relative errors are largest. This variant therefore
     # certifies the production engine against an explicit
     # BINS-VS-TABLE budget (measured r04 hardware values ~x3 headroom:
-    # docs/GOLDEN_TPU_128_PALLAS_r04.log), not the golden 2e-5 table
+    # docs/GOLDEN_TPU_128_PALLAS_r05.log), not the golden 2e-5 table
     # tolerances, which only a table-exact engine can meaningfully
     # meet. Its role is production-engine regression detection.
     print(f"(engine {args.engine}: bins-vs-table budget tolerances)")

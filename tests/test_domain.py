@@ -514,3 +514,31 @@ def test_domain_traffic_512_class_64_chips():
     assert res["measured_bytes_per_chip_iter"] == \
         res["model_bytes_per_chip_iter"]
     assert res["measured_MB"] == 39.0
+
+
+def test_domain_traffic_512_class_512_chips():
+    """512-chip row of the 512^3 weak-scaling table, HLO-verified on a
+    virtual (8,8,8) mesh: 14.3 MB/chip/iter == the analytic halo model
+    (the reference's replicated path stays at 2147 MB/rank). With this
+    row every entry of the weak-scaling table is measured, not
+    analytic."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scratch",
+                          "domain_traffic.py")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=512",
+               JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.join(os.path.dirname(__file__), ".."))
+    out = subprocess.run(
+        [sys.executable, script, "512", "31", "8", "8", "8"],
+        env=env, capture_output=True, text=True, timeout=2400)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["chips"] == 512
+    assert res["measured_bytes_per_chip_iter"] == \
+        res["model_bytes_per_chip_iter"]
+    assert res["measured_MB"] == 14.3
