@@ -320,11 +320,11 @@ def test_domain_trace_window_engine_matches_single():
 
     from pyc2ray_tpu.ops.raytrace_cheb import PackedPositions
 
-    N, R = 32, 3.0
+    N, R = 48, 3.0    # Lp=24: the extended frame leaves span >= 16
     rng = np.random.RandomState(11)
     ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
     xh = rng.uniform(0, 0.5, (N, N, N))
-    ns = 300   # dense enough that the packing fill guard keeps windows
+    ns = 600   # dense enough that the packing fill guard keeps windows
     src = rng.randint(0, N, size=(ns, 3))
     flux = rng.uniform(0.5, 5.0, ns)
     eng = ChebRaytracer(N, R, SIG, grey_bins(), batch_size=4,
