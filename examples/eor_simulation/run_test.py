@@ -54,10 +54,16 @@ def main():
 
     zlist = np.array([21.062, 20.134, 19.284, 18.501, 17.778, 17.108])
     zlist = zlist[: args.num_slices + 1]
+    inputs = "./inputs"
     if args.synthetic:
-        make_synthetic_inputs(args.N, "./inputs", zlist, ns=args.numsrc)
+        # NEVER write into ./inputs — it holds the committed CubeP3M
+        # example data (a synthetic run once clobbered it)
+        inputs = "./inputs_synthetic"
+        make_synthetic_inputs(args.N, inputs, zlist, ns=args.numsrc)
 
     sim = pc2r.C2Ray_CubeP3M(paramfile, args.N, use_gpu=True)
+    if args.synthetic:
+        sim.inputs_basename = inputs + "/"
 
     xh_initial = np.asarray(sim.xh).copy()
     steps_executed = 0
@@ -65,7 +71,7 @@ def main():
         zi, zf = zlist[k], zlist[k + 1]
         pc2r.printlog(f"=== slice z = {zi:.3f} -> {zf:.3f} ===", sim.logfile)
         sim.read_density(zi)
-        srcfile = f"./inputs/sources/{zi:.3f}-sources.hdf5"
+        srcfile = f"{inputs}/sources/{zi:.3f}-sources.hdf5"
         srcpos, normflux = sim.read_sources(srcfile)
         dt = sim.set_timestep(zi, zf, args.num_steps)
         for t in range(args.num_steps):

@@ -45,7 +45,8 @@ def _morton_code(pos):
     return code
 
 
-class PackedPositions(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class PackedPositions:
     """Marker pytree for span-packed source batches.
 
     Produced ONLY by ChebRaytracer._prepare_sources_packed, which
@@ -57,8 +58,63 @@ class PackedPositions(NamedTuple):
     (e.g. the parallel staging paths) remain correct with no
     data-dependent lax.cond, which would copy the full padded
     accumulator through the conditional every batch (measured
-    ~335 us/batch at 250^3)."""
-    pos: object      # (nb, B, 3) int32
+    ~335 us/batch at 250^3).
+
+    ``span`` records the packing's per-axis bound as STATIC aux data
+    (part of the jit signature, not a traced array): the trace derives
+    its window from the engine's CURRENT tuner state, which a later
+    ``prepare_sources`` on a denser catalog may have shrunk — without
+    the recorded span, stale batches whose offsets exceed the new
+    window would get all-zero one-hot placement rows and silently drop
+    sources. With it, the trace falls back to the (always-correct)
+    scan accumulate whenever the recorded span no longer fits.
+    ``span=None`` (externally built batches) keeps today's behavior."""
+
+    def __init__(self, pos, span=None):
+        self.pos = pos
+        self.span = None if span is None else int(span)
+
+    def tree_flatten(self):
+        return (self.pos,), self.span
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+def _pack_lane_groups(n_t, Dc, Bg, G):
+    """(Dc_face, B, Dc, Dc) face-leading nhi -> (Dc_face, Bg, Dc, G*Dc):
+    the G sources of each group land in g-major lane segments
+    (b = bg*G + g — the order _unseg_stacks unpacks)."""
+    if G == 1:
+        return n_t
+    return n_t.reshape(Dc, Bg, G, Dc, Dc) \
+              .transpose(0, 1, 3, 2, 4) \
+              .reshape(Dc, Bg, Dc, G * Dc)
+
+
+def _unseg_stacks(Sh, Dc, G):
+    """One sign half of a kernel stack, (Bg, S, Dc, G*Dc) ->
+    (Bg*G, S, Dc, Dc): inverse of the _pack_lane_groups grouping."""
+    if G == 1:
+        return Sh
+    Bg, S = Sh.shape[0], Sh.shape[1]
+    return Sh.reshape(Bg, S, Dc, G, Dc) \
+             .transpose(0, 3, 1, 2, 4) \
+             .reshape(Bg * G, S, Dc, Dc)
+
+
+def _lane_init_plane(src_cd, Dc, c, Bg, G, dtype):
+    """(B,) source column densities -> the kernel's (Bg, Dc, 2*G*Dc)
+    init plane with each source cell set in both sign halves of its
+    g segment."""
+    GD = G * Dc
+    ar = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 0)
+    br = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 1)
+    center = (ar == c) & (br % Dc == c)
+    gmap = (np.arange(2 * GD) % GD) // Dc           # lane -> g (static)
+    vals = src_cd.reshape(Bg, G)[:, gmap]           # (Bg, 2GD)
+    return jnp.where(center[None], vals[:, None, :], 0.0).astype(dtype)
 
 
 class ChebTables(NamedTuple):
@@ -332,8 +388,8 @@ class ChebRaytracer:
         pad = np.concatenate([p32, np.repeat(p32[-1:], B - 1, axis=0)], 0)
         out = np.empty((ns, B), dtype=np.int32)
         # chunked: the window view's running extrema are (rows, 3, B)
-        # temps; scale the chunk down with B to bound them ~200 MB
-        step = max(1 << 12, (1 << 24) // max(B, 1))
+        # temps; bound them ~12 MB at any B
+        step = max(1 << 12, min(1 << 17, (1 << 20) // max(B, 1) * 8))
         for i0 in range(0, ns, step):
             i1 = min(ns, i0 + step)
             win = np.lib.stride_tricks.sliding_window_view(
@@ -384,9 +440,10 @@ class ChebRaytracer:
         kernel moved the optimum up). Evaluates the real packing
         (cheap, host-side: one rolling-span pass at the largest
         candidate B, sliced per candidate) and keeps the cost-model
-        argmin over B in {B0, 2B0, 4B0} and four window spans. Changing
-        (B, W) changes traced shapes, so at most one extra compile per
-        catalog-density regime — cached thereafter."""
+        argmin over B in {1,2,3,4} x B0 (capped at 96) and the three
+        window spans {16, 24, 32} past the box. Changing (B, W) changes
+        traced shapes, so at most one extra compile per catalog-density
+        regime — cached thereafter."""
         pos = np.asarray(src_pos, dtype=np.int64).reshape(-1, 3)
         B0 = self._batch_size0
         ns = len(pos)
@@ -397,9 +454,11 @@ class ChebRaytracer:
         order = np.argsort(_morton_code(pos), kind="stable")
         # cap 96: B=128 measured worse than 96 in every probe (2.77 vs
         # 2.48 fixed-config, 2.66 via the tuner at the 1e6 row) — fill
-        # decay plus VMEM pressure outpace the fixed-cost amortization
+        # decay plus VMEM pressure outpace the fixed-cost amortization.
+        # A configured B0 already past the cap keeps itself as the only
+        # candidate (W-only tuning) rather than emptying the set.
         cand_B = [m * B0 for m in (1, 2, 3, 4)
-                  if m * B0 <= 96 and m * B0 <= ns]
+                  if m * B0 <= 96 and m * B0 <= ns] or [B0]
         spans_max = self._allowed_runs(pos[order], max(cand_B))
         best = (np.inf, self.window_W, self.batch_size)
         for B in cand_B:
@@ -437,7 +496,8 @@ class ChebRaytracer:
         B = self.batch_size
         span = (self.window_W if W is None else int(W)) - self.geom.Dc
         if len(pos) == 0:
-            return (PackedPositions(jnp.zeros((1, B, 3), jnp.int32)),
+            return (PackedPositions(jnp.zeros((1, B, 3), jnp.int32),
+                                    span=0),
                     jnp.zeros((1, B), dtype=self.dtype))
         ns = len(pos)
         if presorted is not None:
@@ -478,7 +538,7 @@ class ChebRaytracer:
         got_span = pos_out.max(axis=1) - pos_out.min(axis=1)
         assert got_span.max() <= span, \
             "internal: packed batch exceeds the window span"
-        return (PackedPositions(jnp.asarray(pos_out)),
+        return (PackedPositions(jnp.asarray(pos_out), span=span),
                 jnp.asarray(flx_out, dtype=self.dtype))
 
 
@@ -563,18 +623,9 @@ class ChebRaytracer:
         G = B // X.shape[0]
         GD = G * Dc
 
-        def unseg(Sh):
-            # (Bg, R1, Dc, G*Dc) sign half -> (B, R1, Dc, Dc)
-            if G == 1:
-                return Sh
-            Bg = Sh.shape[0]
-            return Sh.reshape(Bg, R1, Dc, G, Dc) \
-                     .transpose(0, 3, 1, 2, 4) \
-                     .reshape(B, R1, Dc, Dc)
-
         def fold(S):
-            Sm = unseg(S[:, :, :, :GD])      # minus faces (batch-leading)
-            Sp = unseg(S[:, :, :, GD:])
+            Sm = _unseg_stacks(S[:, :, :, :GD], Dc, G)   # minus faces
+            Sp = _unseg_stacks(S[:, :, :, GD:], Dc, G)
             n_dn = min(c, R1 - 1)
             n_up = min(Dc - 1 - c, R1 - 1)
             dn = jnp.flip(Sm[:, 1:n_dn + 1], 1)
@@ -609,31 +660,14 @@ class ChebRaytracer:
         Dc, c = g.Dc, g.c
         G = self.lane_pack if B % self.lane_pack == 0 else 1
         Bg = B // G
-        GD = G * Dc
-
-        def pack(n_t):
-            # (Dc_face, B, Dc, Dc) -> (Dc_face, Bg, Dc, G*Dc): the g
-            # sources of each group land in g-major lane segments
-            # (b = bg*G + g, the order the fold unpacks)
-            if G == 1:
-                return n_t
-            return n_t.reshape(Dc, Bg, G, Dc, Dc) \
-                      .transpose(0, 1, 3, 2, 4) \
-                      .reshape(Dc, Bg, Dc, GD)
-
-        nx = pack(jnp.transpose(nhi_box, (1, 0, 2, 3)))
-        ny = pack(jnp.transpose(nhi_box, (2, 0, 1, 3)))
-        nz = pack(jnp.transpose(nhi_box, (3, 0, 1, 2)))
+        nx = _pack_lane_groups(jnp.transpose(nhi_box, (1, 0, 2, 3)),
+                               Dc, Bg, G)
+        ny = _pack_lane_groups(jnp.transpose(nhi_box, (2, 0, 1, 3)),
+                               Dc, Bg, G)
+        nz = _pack_lane_groups(jnp.transpose(nhi_box, (3, 0, 1, 2)),
+                               Dc, Bg, G)
         src_cd = nhi_box[:, c, c, c] * (0.5 * dr)
-        ar = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 0)
-        br = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 1)
-        center = (ar == c) & (br % Dc == c)
-        # per-lane source value: lane (sign, g, b) belongs to source
-        # bg*G + g of the group
-        gmap = (np.arange(2 * GD) % GD) // Dc            # (2GD,) static
-        vals = src_cd.reshape(Bg, G)[:, gmap]            # (Bg, 2GD)
-        init_plane = jnp.where(center[None], vals[:, None, :], 0.0) \
-            .astype(self.dtype)
+        init_plane = _lane_init_plane(src_cd, Dc, c, Bg, G, self.dtype)
         X, Y, Z = cheb_sweep_pallas(
             (tb.geom_x, tb.geom_y, tb.geom_z), nx, ny, nz, dr, init_plane,
             B=B, Dc=Dc, R1=g.r_max + 1, c=c,
@@ -663,32 +697,15 @@ class ChebRaytracer:
         GD = G * Dc
         S, K = self.seg_S, self.seg_K
         dt = self.dtype
-
-        def pack(n_t):
-            if G == 1:
-                return n_t
-            return n_t.reshape(Dc, Bg, G, Dc, Dc) \
-                      .transpose(0, 1, 3, 2, 4) \
-                      .reshape(Dc, Bg, Dc, GD)
-
-        nx = pack(jnp.transpose(nhi_box, (1, 0, 2, 3)))
-        ny = pack(jnp.transpose(nhi_box, (2, 0, 1, 3)))
-        nz = pack(jnp.transpose(nhi_box, (3, 0, 1, 2)))
+        nx = _pack_lane_groups(jnp.transpose(nhi_box, (1, 0, 2, 3)),
+                               Dc, Bg, G)
+        ny = _pack_lane_groups(jnp.transpose(nhi_box, (2, 0, 1, 3)),
+                               Dc, Bg, G)
+        nz = _pack_lane_groups(jnp.transpose(nhi_box, (3, 0, 1, 2)),
+                               Dc, Bg, G)
         src_cd = nhi_box[:, c, c, c] * (0.5 * dr)
-        ar = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 0)
-        br = lax.broadcasted_iota(jnp.int32, (Dc, 2 * GD), 1)
-        center = (ar == c) & (br % Dc == c)
-        gmap = (np.arange(2 * GD) % GD) // Dc
-        vals = src_cd.reshape(Bg, G)[:, gmap]
-        init = jnp.where(center[None], vals[:, None, :], 0.0).astype(dt)
+        init = _lane_init_plane(src_cd, Dc, c, Bg, G, dt)
         planes = (init, init, init)
-
-        def unseg(Sh):
-            if G == 1:
-                return Sh
-            return Sh.reshape(Bg, S, Dc, G, Dc) \
-                     .transpose(0, 3, 1, 2, 4) \
-                     .reshape(B, S, Dc, Dc)
 
         def add_planes(box, piece, lo, orient):
             n = piece.shape[1]
@@ -710,8 +727,8 @@ class ChebRaytracer:
                 interpret=self._pallas_interpret)
             planes = out[3:]
             for orient, St in enumerate(out[:3]):
-                Sm = unseg(St[..., :GD])
-                Sp = unseg(St[..., GD:])
+                Sm = _unseg_stacks(St[..., :GD], Dc, G)
+                Sp = _unseg_stacks(St[..., GD:], Dc, G)
                 n_dn = int(np.clip(c - r0 + 1, 0, S))
                 if n_dn > 0:
                     box = add_planes(box, jnp.flip(Sm[:, :n_dn], 1),
@@ -1153,10 +1170,16 @@ class ChebRaytracer:
         heat_pad0 = jnp.zeros(nhi_pad.shape, dtype=self.dtype) \
             if self.do_heating else jnp.zeros((1,), dtype=self.dtype)
         packed = isinstance(pos_b, PackedPositions)
+        span = None
         if packed:
+            span = pos_b.span
             pos_b = pos_b.pos
         W = self.window_for_ext(nhi_pad.shape) if packed else None
-        use_window = W is not None
+        # batches packed under an earlier tuner state may exceed the
+        # window the CURRENT state derives — the recorded (static)
+        # span gates the window path; scan is always correct
+        use_window = W is not None and (span is None
+                                        or span <= W - self.geom.Dc)
 
         def batch_step(carry, xs):
             # lax.scan over batches: the per-batch (pos, flux) arrive as

@@ -387,7 +387,7 @@ class DomainDecomposition:
                     shift = self.hlo - eng.geom.c
                     p0 = jnp.full((n_dev, B, 3), shift, jnp.int32)
                     if eng.accumulate == "window":
-                        p0 = PackedPositions(p0)
+                        p0 = PackedPositions(p0, span=0)
                     out = (p0, jnp.zeros((n_dev, B), eng.dtype),
                            None, None)
                 else:
@@ -474,6 +474,11 @@ class DomainDecomposition:
             ext_dims = tuple(self.hlo + ax.Lp + self.hhi
                              for ax in self.axes)
             W_eff = engine.window_for_ext(ext_dims)
+            if W_eff is None:
+                # the extended frame is too small for a productive
+                # window — the trace will take the scan path, so skip
+                # the span packing too
+                return bucket_plain(sel_all)
             per_pos, per_flx = [], []
             for d in range(n_dev):
                 sel = sel_all[owner[sel_all] == d]
@@ -500,7 +505,8 @@ class DomainDecomposition:
                     per_flx[d] = np.concatenate(
                         [per_flx[d], np.zeros((pad, B))], axis=0)
             return (PackedPositions(jnp.asarray(
-                        np.concatenate(per_pos, axis=0))),
+                        np.concatenate(per_pos, axis=0)),
+                        span=W_eff - engine.geom.Dc),
                     jnp.asarray(np.concatenate(per_flx, axis=0),
                                 dtype=engine.dtype))
 

@@ -31,7 +31,7 @@ __all__ = ["trace_sharded", "global_pass_sharded", "evolve3D_sharded",
            "evolve3D_he_sharded", "prepare_sources_sharded"]
 
 
-def _pad_batches_to_devices(pos, flx, n_dev, B=None):
+def _pad_batches_to_devices(pos, flx, n_dev):
     """Pad (nb, B, ...) batch arrays to a multiple of n_dev batches.
     Padding batches repeat the last positions with zero flux (swept but
     contributing nothing), mirroring the remainder handling of the
@@ -84,9 +84,11 @@ def _prepare_adaptive_sharded(raytracer, mesh, src_pos, src_flux, dr,
             packed = eng.accumulate == "window"
             pos = np.zeros((1, B, 3), np.int32)
             flx = np.zeros((1, B), np.float64)
-        pos, flx = _pad_batches_to_devices(pos, flx, n_dev, B)
+        pos, flx = _pad_batches_to_devices(pos, flx, n_dev)
         pos_j = jnp.asarray(pos)
-        pos_t.append(PackedPositions(pos_j) if packed else pos_j)
+        spank = pb.span if (sel.size and packed) else 0
+        pos_t.append(PackedPositions(pos_j, span=spank)
+                     if packed else pos_j)
         flux_t.append(jnp.asarray(flx, dtype=eng.dtype))
     return tuple(pos_t), tuple(flux_t)
 
@@ -121,8 +123,8 @@ def prepare_sources_sharded(raytracer: Raytracer, mesh, src_pos, src_flux,
         pb, fb = raytracer.prepare_sources(src_pos, src_flux)
         if isinstance(pb, PackedPositions):   # not the sparse fallback
             pos, flx = _pad_batches_to_devices(
-                np.asarray(pb.pos), np.asarray(fb), n_dev, B)
-            return (PackedPositions(jnp.asarray(pos)),
+                np.asarray(pb.pos), np.asarray(fb), n_dev)
+            return (PackedPositions(jnp.asarray(pos), span=pb.span),
                     jnp.asarray(flx, dtype=cfg.dtype))
     ns = src_flux.shape[0]
     per_dev_batches = -(-ns // (B * n_dev))

@@ -388,3 +388,39 @@ def test_segmentation_auto_thresholds():
     # stacks per segment bounded by the 192 MB budget
     per_shell = 3 * 16 * big.geom.Dc * 2 * big.geom.Dc * 4
     assert big.seg_S * per_shell <= 192 * 1024 * 1024
+
+
+def test_stale_packed_batches_after_retune_stay_correct():
+    """Batches packed under an earlier tuner state must stay CORRECT
+    when a later prepare_sources retunes the window smaller: the
+    recorded static span gates the window path (falls back to scan)
+    instead of silently dropping sources through all-zero one-hot
+    placement rows."""
+    from pyc2ray_tpu.ops.raytrace_cheb import PackedPositions
+
+    N = 64
+    rng = np.random.RandomState(41)
+    ndens = 10 ** rng.uniform(-4, -2, (N, N, N))
+    xh = rng.uniform(0.0, 0.5, (N, N, N))
+    rt = ChebRaytracer(N, 8.0, SIG, grey_bins(), batch_size=8,
+                       dtype=jnp.float64, accumulate="window",
+                       use_pallas=False)
+    # catalog A: spread out -> larger window
+    srcA = rng.randint(0, N, size=(80, 3))
+    fluxA = rng.uniform(0.5, 2.0, 80)
+    posA, flxA = rt.prepare_sources(srcA, fluxA)
+    assert isinstance(posA, PackedPositions) and posA.span is not None
+    phiA_fresh = np.asarray(rt.trace_batches(
+        jnp.asarray(ndens.reshape(-1)), jnp.asarray(xh.reshape(-1)),
+        posA, flxA, jnp.asarray(DR))[0])
+    # catalog B: dense cluster -> the tuner shrinks W (and may raise B)
+    srcB = rng.randint(20, 36, size=(600, 3))
+    rt.prepare_sources(srcB, np.ones(600))
+    # force a smaller window than catalog A's packing span needs
+    rt.window_W = min(rt.window_W, rt.geom.Dc + 16)
+    if posA.span > rt.window_W - rt.geom.Dc:
+        pass  # the interesting configuration: stale batches don't fit
+    phiA_stale = np.asarray(rt.trace_batches(
+        jnp.asarray(ndens.reshape(-1)), jnp.asarray(xh.reshape(-1)),
+        posA, flxA, jnp.asarray(DR))[0])
+    np.testing.assert_allclose(phiA_stale, phiA_fresh, rtol=1e-12)
